@@ -1,0 +1,100 @@
+"""Rasterizer goldens — TPU analog of the neural_renderer unit tests
+(thirdparty/neural_renderer/tests/test_rasterize*.py): geometric invariants
+on synthetic triangles instead of Blender golden images."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hoig_tpu.ops import rasterize_depth, rasterize_fim_wim, rasterize_silhouette
+
+
+def tri(verts):
+    """(3,3) -> (1,1,3,3) face tensor."""
+    return jnp.asarray(np.asarray(verts, np.float32)[None, None])
+
+
+def big_front_triangle(z=2.0):
+    # CCW in screen space after the kernel's orientation convention
+    return [[-0.9, -0.9, z], [0.9, -0.9, z], [0.0, 0.9, z]]
+
+
+def test_single_triangle_coverage_and_flip():
+    fim, wim = rasterize_fim_wim(tri(big_front_triangle()), image_size=32)
+    fim = np.asarray(fim[0])
+    assert (fim >= 0).sum() > 200  # roughly half the image
+    # the triangle's apex is at NDC y=+0.9; after the vertical flip
+    # convention (rasterize.py:338-345) +y should be at *low* row index
+    rows_hit = np.where((fim >= 0).any(axis=1))[0]
+    cov_top = (fim[rows_hit[0] + 1] >= 0).sum()
+    cov_bottom = (fim[rows_hit[-1] - 1] >= 0).sum()
+    assert cov_top < cov_bottom  # apex (narrow) is at the top of the image
+
+    wim = np.asarray(wim[0])
+    hit = fim >= 0
+    np.testing.assert_allclose(wim[hit].sum(-1), 1.0, rtol=1e-5)
+    assert np.all(wim[~hit] == 0)
+
+
+def test_backface_culled():
+    v = big_front_triangle()
+    flipped = [v[0], v[2], v[1]]  # reversed winding
+    fim, _ = rasterize_fim_wim(tri(flipped), image_size=32)
+    assert int((np.asarray(fim) >= 0).sum()) == 0
+
+
+def test_zbuffer_nearest_wins_and_tie_break():
+    near_t = big_front_triangle(z=1.5)
+    far_t = big_front_triangle(z=3.0)
+    faces = jnp.asarray(np.asarray([far_t, near_t], np.float32)[None])
+    fim, _ = rasterize_fim_wim(faces, image_size=32)
+    hit = np.asarray(fim[0])
+    assert set(np.unique(hit)) == {-1, 1}  # nearer face (index 1) wins
+
+    # exact tie -> lowest index (CUDA ascending first-hit semantics)
+    faces_tie = jnp.asarray(np.asarray([near_t, near_t], np.float32)[None])
+    fim_tie, _ = rasterize_fim_wim(faces_tie, image_size=32)
+    assert set(np.unique(np.asarray(fim_tie[0]))) == {-1, 0}
+
+
+def test_face_valid_mask():
+    near_t = big_front_triangle(z=1.5)
+    far_t = big_front_triangle(z=3.0)
+    faces = jnp.asarray(np.asarray([near_t, far_t], np.float32)[None])
+    valid = jnp.asarray([[False, True]])
+    fim, _ = rasterize_fim_wim(faces, valid, image_size=32)
+    assert set(np.unique(np.asarray(fim[0]))) == {-1, 1}  # masked face skipped
+
+
+def test_depth_map_perspective_correct():
+    # triangle spanning z from 2 (bottom edge) to 4 (apex)
+    v = [[-0.9, -0.9, 2.0], [0.9, -0.9, 2.0], [0.0, 0.9, 4.0]]
+    dim = np.asarray(rasterize_depth(tri(v), image_size=64)[0])
+    sil = dim < 99.0
+    assert sil.sum() > 500
+    zs = dim[sil]
+    assert zs.min() >= 2.0 - 1e-3 and zs.max() <= 4.0 + 1e-3
+    # after the vertical flip the far apex (NDC +y) is at low row index
+    rows = np.where(sil.any(axis=1))[0]
+    top_z = dim[rows[0], sil[rows[0]].argmax()]
+    bot_z = dim[rows[-1], sil[rows[-1]].argmax()]
+    assert top_z > bot_z
+
+
+def test_silhouette_binary():
+    sil = np.asarray(rasterize_silhouette(tri(big_front_triangle()), image_size=32))
+    assert set(np.unique(sil)) <= {0.0, 1.0}
+    assert sil.sum() > 0
+
+
+def test_barycentric_weights_interpolate_linearly():
+    # weight for vertex v should be 1 at v's pixel and decay linearly;
+    # center pixel of the triangle has all weights ~1/3 for a symmetric tri
+    v = [[-0.9, -0.5, 2.0], [0.9, -0.5, 2.0], [0.0, 0.9, 2.0]]
+    s = 128
+    fim, wim = rasterize_fim_wim(tri(v), image_size=s)
+    fim, wim = np.asarray(fim[0]), np.asarray(wim[0])
+    # centroid NDC ~ (0, -0.0333); pixel = (v+1)*s/2 roughly; flipped row
+    cx = int((0.0 + 1) * s / 2)
+    cy = s - 1 - int((-0.0333 + 1) * s / 2)
+    assert fim[cy, cx] == 0
+    np.testing.assert_allclose(wim[cy, cx], [1 / 3] * 3, atol=0.05)

@@ -1,0 +1,466 @@
+"""Unified-surface-space renderer: the TPU-native MANORenderer.
+
+Capability parity with HOIG_HOv3/utils/nmr.py:242-1100 (`MANORenderer`):
+per-object merged hand+object face tables, UV-seg condition maps, 15-way
+part semantics, the 256x640 unified surface space (hand atlas | gap |
+object atlas), barycentric src->dst flow with occlusion, texture
+backward-warp, and dense atlas re-sampling.
+
+TPU-first redesign (not a translation):
+  * The reference registers ~6 buffers *per object name* and re-dispatches
+    per sample via `getattr(self, f'..._{objname}')` in a Python loop
+    (models/trainer.py:63-97). Here every per-object buffer is one padded
+    (num_objects, max_faces, ...) table indexed by an integer obj id, so a
+    single jit signature covers the whole batch regardless of object mix.
+  * All runtime ops are dense, fixed-shape, batched gathers (vmap over the
+    batch) — the reference's per-sample boolean-mask scatters
+    (nmr.py:888-963) become `where`-masked dense ops.
+  * Padded faces carry an explicit validity mask consumed by the
+    rasterizer instead of slicing `verts[:, :length]` per object.
+
+Build-time table construction is host-side numpy plus one rasterization per
+object (the reference does the same at __init__, nmr.py:360-400).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hoig_tpu.geometry import mesh as mesh_utils
+from hoig_tpu.geometry.projection import (
+    HOGAN_EYE_Z,
+    orthographic_proj_withz_fxfy,
+    orthographic_proj_withz_idrot,
+    to_view_space,
+    vertices_to_faces,
+)
+from hoig_tpu.ops.grid_sample import grid_sample
+from hoig_tpu.ops.morph import morph
+from hoig_tpu.ops.rasterizer import rasterize_fim_wim
+
+NUM_HAND_VERTS = 778
+NUM_HAND_FACES = 1538
+
+# Unified surface space layout (nmr.py:389-392): hand 256 | gap 128 | obj 256.
+ATLAS_H = 256
+ATLAS_W = 640
+ATLAS_GAP = 128
+# faces_uv_coord affine (nmr.py:393-395).
+ATLAS_MEAN = np.array([1.25, 0.5], np.float32)
+ATLAS_SCALE = np.array([0.8, -2.0], np.float32)
+OBJ_ATLAS_SHIFT = 1.5  # object UV atlas x-offset (nmr.py:381)
+
+SEM_HAND_PARTS = (
+    "palm",
+    "thumb",
+    "index_finger",
+    "middle_finger",
+    "ring_finger",
+    "little_finger",
+)
+
+
+@dataclasses.dataclass
+class ObjectSpec:
+    """One rigid object: mesh path + optional pre-rendered texture image."""
+
+    name: str
+    obj_path: str
+    texture_path: str | None = None
+
+
+@dataclasses.dataclass
+class SurfaceTables:
+    """Padded per-object tables; `.as_jax()` is the device-resident pytree."""
+
+    faces: np.ndarray  # (O, Fmax, 3) int32, -1 padded
+    face_valid: np.ndarray  # (O, Fmax) bool
+    num_faces: np.ndarray  # (O,) int32
+    num_verts: np.ndarray  # (O,) int32 (hand + object)
+    map_fn: np.ndarray  # (O, Fmax+1, 3); padding rows & last row = bg
+    sem: np.ndarray  # (O, Fmax+1, 1)
+    fim_uv: np.ndarray  # (O, 256, 640) int32
+    wim_uv: np.ndarray  # (O, 256, 640, 3)
+    faces_uv_coord: np.ndarray  # (O, Fmax, 3, 2) atlas sampling coords
+    obj_tex: np.ndarray  # (O, 3, 256, 256) in [-1, 1]
+    object_names: list
+
+    def as_jax(self) -> dict:
+        return {
+            "faces": jnp.asarray(self.faces),
+            "face_valid": jnp.asarray(self.face_valid),
+            "num_faces": jnp.asarray(self.num_faces),
+            "map_fn": jnp.asarray(self.map_fn),
+            "sem": jnp.asarray(self.sem),
+            "fim_uv": jnp.asarray(self.fim_uv),
+            "wim_uv": jnp.asarray(self.wim_uv),
+            "faces_uv_coord": jnp.asarray(self.faces_uv_coord),
+            "obj_tex": jnp.asarray(self.obj_tex),
+        }
+
+
+def _rasterize_uv_atlas(vts01: np.ndarray, faces_vts: np.ndarray, image_size: int):
+    """Rasterize a UV chart into fim/wim (nmr.py:368-388 equivalent).
+
+    The reference runs its CUDA rasterizer on (2*uv-1, 1) verts after a
+    look_at whose rotation is the identity — i.e. plain NDC coords at a
+    constant depth. We feed the same geometry to the JAX rasterizer.
+    """
+    v = (vts01 - 0.5) * 2.0
+    verts = np.concatenate(
+        [v, np.full((v.shape[0], 1), 1.0 + HOGAN_EYE_Z, np.float32)], axis=1
+    )
+    fv = jnp.asarray(verts[faces_vts][None])  # (1, F, 3, 3)
+    fim, wim = rasterize_fim_wim(fv, image_size=image_size)
+    return np.asarray(fim[0]), np.asarray(wim[0])
+
+
+def build_surface_tables(
+    hand_uv_obj_path: str,
+    objects: list,
+    sem_hand: dict | str,
+    map_name: str = "uv_seg",
+    image_size: int = 256,
+    obj_shift_per_index: bool = True,
+) -> SurfaceTables:
+    """Construct all per-object static tables.
+
+    Args:
+      hand_uv_obj_path: MANO UV chart OBJ (reference assets/MANO_UV_right.obj).
+      objects: list of ObjectSpec.
+      sem_hand: semantics dict {'right': {part: vertex/face ids}} or pickle
+        path (reference assets/semantics_hand.pkl).
+      map_name: condition map type ('uv_seg' is what HOGAN trains with).
+      image_size: image resolution.
+      obj_shift_per_index: the reference shifts each object's uv-map u by
+        1.5*(i+1) (nmr.py:381) so different objects are distinguishable in
+        the cond map.
+    """
+    if isinstance(sem_hand, str):
+        with open(sem_hand, "rb") as fp:
+            sem_hand = pickle.load(fp)
+
+    hand_info = mesh_utils.load_obj(hand_uv_obj_path)
+    hand_faces = hand_info["faces"]
+    hand_map_fn = mesh_utils.create_mapping(map_name, hand_uv_obj_path, contain_bg=True)
+
+    # hand face semantics 1..6 (nmr.py:297-306)
+    hand_sem = np.zeros((NUM_HAND_FACES, 1), np.float32)
+    for i, key in enumerate(SEM_HAND_PARTS):
+        hand_sem[np.asarray(sem_hand["right"][key])] = i + 1
+
+    hand_fim, hand_wim = _rasterize_uv_atlas(
+        hand_info["vts"], hand_info["faces_vts"], image_size
+    )
+    hand_uv_coord = hand_info["vts"][hand_info["faces_vts"]]  # (F, 3, 2) in [0,1]
+
+    per_obj = []
+    for i, spec in enumerate(objects):
+        info = mesh_utils.load_obj(spec.obj_path)
+        faces = np.concatenate([hand_faces, info["faces"] + NUM_HAND_VERTS], axis=0)
+        nf = faces.shape[0]
+        nv = NUM_HAND_VERTS + info["vertices"].shape[0]
+
+        obj_map_fn = mesh_utils.create_mapping(map_name, spec.obj_path, contain_bg=True)
+        shift = OBJ_ATLAS_SHIFT * (i + 1 if obj_shift_per_index else 1)
+        obj_map_fn[:-1, :2] = obj_map_fn[:-1, :2] + np.array([shift, 0.0], np.float32)
+        map_fn = np.concatenate([hand_map_fn[:-1], obj_map_fn], axis=0)  # (nf+1, 3)
+
+        sem = np.concatenate(
+            [hand_sem, np.full((info["faces"].shape[0], 1), i + 7, np.float32),
+             np.zeros((1, 1), np.float32)],
+            axis=0,
+        )
+
+        obj_fim, obj_wim = _rasterize_uv_atlas(info["vts"], info["faces_vts"], image_size)
+        gap_fim = -np.ones((image_size, ATLAS_GAP), np.int32)
+        gap_wim = np.zeros((image_size, ATLAS_GAP, 3), np.float32)
+        fim_uv = np.concatenate(
+            [hand_fim, gap_fim, np.where(obj_fim >= 0, obj_fim + NUM_HAND_FACES, -1)],
+            axis=1,
+        )
+        wim_uv = np.concatenate([hand_wim, gap_wim, obj_wim], axis=1)
+
+        obj_uv_coord = info["vts"][info["faces_vts"]] + np.array(
+            [OBJ_ATLAS_SHIFT, 0.0], np.float32
+        )
+        uv_coord = np.concatenate([hand_uv_coord, obj_uv_coord], axis=0)
+        faces_uv_coord = (uv_coord - ATLAS_MEAN) * ATLAS_SCALE  # (nf, 3, 2)
+
+        if spec.texture_path is not None:
+            import cv2
+
+            img = cv2.imread(spec.texture_path)[:, :, ::-1]
+            img = cv2.resize(img, (256, 256)).astype(np.float32) / 255.0 * 2.0 - 1.0
+        else:
+            img = np.zeros((256, 256, 3), np.float32)
+        obj_tex = img.transpose(2, 0, 1)
+
+        per_obj.append(
+            dict(faces=faces, nf=nf, nv=nv, map_fn=map_fn, sem=sem, fim_uv=fim_uv,
+                 wim_uv=wim_uv, faces_uv_coord=faces_uv_coord, obj_tex=obj_tex)
+        )
+
+    n_obj = len(per_obj)
+    f_max = max(o["nf"] for o in per_obj)
+
+    faces_t = -np.ones((n_obj, f_max, 3), np.int32)
+    valid_t = np.zeros((n_obj, f_max), bool)
+    map_t = np.zeros((n_obj, f_max + 1, hand_map_fn.shape[1]), np.float32)
+    sem_t = np.zeros((n_obj, f_max + 1, 1), np.float32)
+    uvc_t = np.zeros((n_obj, f_max, 3, 2), np.float32)
+    fim_t = np.stack([o["fim_uv"] for o in per_obj]).astype(np.int32)
+    wim_t = np.stack([o["wim_uv"] for o in per_obj]).astype(np.float32)
+    tex_t = np.stack([o["obj_tex"] for o in per_obj]).astype(np.float32)
+
+    for j, o in enumerate(per_obj):
+        nf = o["nf"]
+        faces_t[j, :nf] = o["faces"]
+        valid_t[j, :nf] = True
+        # face rows 0..nf-1; bg value fills rows nf..f_max (so any index >= nf
+        # resolves to bg, matching torch's fim==-1 -> last-row gather)
+        map_t[j, :nf] = o["map_fn"][:-1]
+        map_t[j, nf:] = o["map_fn"][-1]
+        sem_t[j, :nf] = o["sem"][:-1]
+        sem_t[j, nf:] = o["sem"][-1]
+        uvc_t[j, :nf] = o["faces_uv_coord"]
+
+    return SurfaceTables(
+        faces=faces_t,
+        face_valid=valid_t,
+        num_faces=np.array([o["nf"] for o in per_obj], np.int32),
+        num_verts=np.array([o["nv"] for o in per_obj], np.int32),
+        map_fn=map_t,
+        sem=sem_t,
+        fim_uv=fim_t,
+        wim_uv=wim_t,
+        faces_uv_coord=uvc_t,
+        obj_tex=tex_t,
+        object_names=[s.name for s in objects],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Runtime ops (all batched; `tables` is SurfaceTables.as_jax())
+# ---------------------------------------------------------------------------
+
+
+def render_fim_wim(
+    tables: dict,
+    cam: jax.Array,
+    verts: jax.Array,
+    obj_ids: jax.Array,
+    image_size: int = 256,
+    camera_model: str = "matrix",
+    near: float = 0.1,
+    far: float = 25.0,
+):
+    """Project + rasterize: the reference render_fim_wim (nmr.py:496-513).
+
+    Args:
+      tables: surface tables pytree.
+      cam: (B, 15) camMat+crop or (B, 10) fx/fy variant.
+      verts: (B, V, 3) hand++object vertices (padded).
+      obj_ids: (B,) int32.
+      camera_model: 'matrix' (HOv3) or 'fxfy' (DexYCB).
+
+    Returns:
+      f2pts: (B, Fmax, 3, 2) projected per-face vertex xy in [-1,1] image NDC
+        (y *not* flipped — this is the post-`src_f2verts[:,:,:,1]*=-1` value
+        the trainer uses, models/trainer.py:67-68).
+      fim: (B, S, S) int32.
+      wim: (B, S, S, 3) float32.
+    """
+    proj_fn = (
+        orthographic_proj_withz_idrot
+        if camera_model == "matrix"
+        else orthographic_proj_withz_fxfy
+    )
+    proj = proj_fn(verts, cam, image_size=image_size)  # (B, V, 3)
+    view = to_view_space(proj)  # y-flip + eye shift (nmr.py:505-508)
+
+    faces = jnp.take(tables["faces"], obj_ids, axis=0)  # (B, Fmax, 3)
+    valid = jnp.take(tables["face_valid"], obj_ids, axis=0)
+    face_verts = vertices_to_faces(view, faces)
+    fim, wim = rasterize_fim_wim(
+        face_verts, valid, image_size=image_size, near=near, far=far
+    )
+    f2pts = vertices_to_faces(proj, faces)[..., 0:2]
+    return f2pts, fim, wim
+
+
+def _bg_gather_index(fim: jax.Array, f_max: int) -> jax.Array:
+    """fim==-1 -> padding row (bg); torch gathers row -1 == bg row."""
+    return jnp.where(fim < 0, f_max, fim)
+
+
+def encode_fim(tables: dict, obj_ids: jax.Array, fim: jax.Array) -> jax.Array:
+    """fim -> condition map (B, C, S, S) (nmr.py:567-581)."""
+    map_fn = jnp.take(tables["map_fn"], obj_ids, axis=0)  # (B, Fmax+1, C)
+    idx = _bg_gather_index(fim, tables["map_fn"].shape[1] - 1)
+    b, s1, s2 = fim.shape
+    enc = jnp.take_along_axis(
+        map_fn, idx.reshape(b, s1 * s2, 1), axis=1
+    ).reshape(b, s1, s2, -1)
+    return enc.transpose(0, 3, 1, 2)
+
+
+def encode_sem(tables: dict, obj_ids: jax.Array, fim: jax.Array) -> jax.Array:
+    """fim -> semantic id map (B, 1, S, S) (nmr.py:583-595)."""
+    sem = jnp.take(tables["sem"], obj_ids, axis=0)
+    idx = _bg_gather_index(fim, tables["sem"].shape[1] - 1)
+    b, s1, s2 = fim.shape
+    enc = jnp.take_along_axis(sem, idx.reshape(b, s1 * s2, 1), axis=1)
+    return enc.reshape(b, s1, s2, 1).transpose(0, 3, 1, 2)
+
+
+def _barycentric_warp(f2pts: jax.Array, fim: jax.Array, wim: jax.Array) -> tuple:
+    """Per-pixel source coords by barycentric interpolation of face verts.
+
+    Shared core of cal_bc_transform / texture warp / dense atlas sampling
+    (nmr.py:915-923 etc): T[p] = sum_k wim[p,k] * f2pts[fim[p], k].
+
+    Returns (T, exist): T (B, H, W, 2) with -2 fill, exist (B, H, W) bool.
+    """
+    b, h, w = fim.shape
+    exist = fim >= 0
+    idx = jnp.clip(fim, 0).reshape(b, h * w)
+    corners = jnp.take_along_axis(
+        f2pts.reshape(b, -1, 6), idx[..., None], axis=1
+    ).reshape(b, h, w, 3, 2)
+    t = jnp.sum(corners * wim[..., None], axis=-2)
+    t = jnp.where(exist[..., None], t, -2.0)
+    return t, exist
+
+
+def _occlusion_from_fim(
+    t: jax.Array, exist: jax.Array, dst_fim: jax.Array, src_fim: jax.Array
+) -> jax.Array:
+    """3x3-neighborhood visibility test (nmr.py:930-963).
+
+    A destination pixel is occluded if none of the 9 source pixels around
+    its warped location carry the same face index.
+    """
+    b, h, w = dst_fim.shape
+    s = src_fim.shape[-1]
+    # pixel coords of warped location (trunc == floor after clamp >= 0)
+    tc = jnp.clip(t, -1.0, 1.0)
+    px = jnp.clip(jnp.floor((tc[..., 0] + 1.0) * 0.5 * (s - 1)), 0, s - 1)
+    py = jnp.clip(jnp.floor((tc[..., 1] + 1.0) * 0.5 * (s - 1)), 0, s - 1)
+    px = px.astype(jnp.int32)
+    py = py.astype(jnp.int32)
+
+    src_flat = src_fim.reshape(b, -1)
+    visible = jnp.zeros((b, h, w), bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            qx = jnp.clip(px + dx, 0, s - 1)
+            qy = jnp.clip(py + dy, 0, s - 1)
+            neighbor = jnp.take_along_axis(
+                src_flat, (qy * s + qx).reshape(b, -1), axis=1
+            ).reshape(b, h, w)
+            visible = visible | (neighbor == dst_fim)
+    return (exist & ~visible).astype(jnp.float32)[..., None]
+
+
+def cal_bc_transform(
+    src_f2pts: jax.Array,
+    src_fim: jax.Array,
+    dst_fim: jax.Array,
+    dst_wim: jax.Array,
+):
+    """dst-pixel -> src-image flow + occlusion (nmr.py:874-968).
+
+    Returns:
+      T: (B, S, S, 2) in [-1,1] src NDC, -2 where no face.
+      O: (B, S, S, 1) occlusion in {0,1}.
+    """
+    t, exist = _barycentric_warp(src_f2pts, dst_fim, dst_wim)
+    o = _occlusion_from_fim(t, exist, dst_fim, src_fim)
+    return t, o
+
+
+def get_texture_backward_warp(
+    tables: dict,
+    im: jax.Array,
+    src_f2pts: jax.Array,
+    src_fim: jax.Array,
+    obj_ids: jax.Array,
+    pre_load: bool = True,
+) -> jax.Array:
+    """src image -> 256x640 unified surface texture (nmr.py:973-1058).
+
+    Occluded atlas texels are opened (erode+dilate ks=3) and white-filled;
+    the object half is replaced by the pre-rendered texture when pre_load.
+    """
+    fim_uv = jnp.take(tables["fim_uv"], obj_ids, axis=0)  # (B, 256, 640)
+    wim_uv = jnp.take(tables["wim_uv"], obj_ids, axis=0)
+
+    t, exist = _barycentric_warp(src_f2pts, fim_uv, wim_uv)
+    o = _occlusion_from_fim(t, exist, fim_uv, src_fim)  # (B, 256, 640, 1)
+
+    # default grid_sample is align_corners=False here (nmr.py:1048)
+    syn_tex = grid_sample(im, t, align_corners=False)
+
+    o = o.transpose(0, 3, 1, 2)  # (B, 1, 256, 640)
+    o = morph(o, ks=3, mode="erode")
+    o = 1.0 - morph(1.0 - o, ks=3, mode="erode")
+    syn_tex = syn_tex * (1.0 - o) + o  # white (=1.0) fill
+
+    if pre_load:
+        obj_tex = jnp.take(tables["obj_tex"], obj_ids, axis=0)  # (B, 3, 256, 256)
+        syn_tex = jnp.concatenate(
+            [syn_tex[:, :, :, : ATLAS_W - 256], obj_tex], axis=3
+        )
+    return syn_tex
+
+
+def sample_from_texture_dense(
+    tables: dict, fim: jax.Array, wim: jax.Array, obj_ids: jax.Array
+) -> jax.Array:
+    """fim/wim -> atlas sampling grid (B, S, S, 2) (nmr.py:1068-1100)."""
+    uvc = jnp.take(tables["faces_uv_coord"], obj_ids, axis=0)  # (B, Fmax, 3, 2)
+    t, _ = _barycentric_warp(uvc, fim, wim)
+    return t
+
+
+def sample_from_texture(cond: jax.Array) -> jax.Array:
+    """Sparse cond-map -> atlas grid (nmr.py:1060-1066 capability)."""
+    uv = cond[:, :2]
+    mean = jnp.asarray(ATLAS_MEAN)[None, :, None, None]
+    scale = jnp.asarray([0.8, 2.0])[None, :, None, None]
+    nonzero = (uv != 0).astype(uv.dtype)
+    return nonzero * (uv - mean) * scale + (1.0 - nonzero) * (-2.0)
+
+
+def render_silhouettes(
+    tables, cam, verts, obj_ids, image_size=256, camera_model="matrix"
+):
+    """Coverage mask via the shared projection path (nmr.py:533-549)."""
+    _, fim, _ = render_fim_wim(
+        tables, cam, verts, obj_ids, image_size, camera_model
+    )
+    return (fim >= 0).astype(jnp.float32)
+
+
+def render_depth(tables, cam, verts, obj_ids, image_size=256, camera_model="matrix"):
+    """View-space depth map (nmr.py:515-531)."""
+    from hoig_tpu.ops.rasterizer import rasterize_depth
+
+    proj_fn = (
+        orthographic_proj_withz_idrot
+        if camera_model == "matrix"
+        else orthographic_proj_withz_fxfy
+    )
+    proj = proj_fn(verts, cam, image_size=image_size)
+    view = to_view_space(proj)
+    faces = jnp.take(tables["faces"], obj_ids, axis=0)
+    valid = jnp.take(tables["face_valid"], obj_ids, axis=0)
+    face_verts = vertices_to_faces(view, faces)
+    return rasterize_depth(face_verts, valid, image_size=image_size, near=0.1, far=25.0)

@@ -1,0 +1,340 @@
+"""HOGAN generator family in flax (NHWC, TPU-native).
+
+Capability parity with HOIG_HOv3/models/networks/generator.py:
+  * ResNetGenerator — bg branch encoder-bottleneck-decoder (tanh RGB).
+  * ResUnetGenerator — 3-down U-net with residual bottleneck, skip convs,
+    SPADE variants, and 3 regression heads (RGB/hand-attn/bg-attn).
+  * Generator — 4 sub-nets (bg/obj/src/tsf); the src and tsf hand encoders
+    run in lockstep and at every layer 1..n_down+repeat_num the src feature
+    is warped into tsf space by the flow T (grid_sample or flow-guided
+    local attention) and ADDED (generator.py:379-446).
+  * ExtractorAttn — flow-guided k x k local attention
+    (models/networks/extract_attn.py:8-37) built on the block-extractor op.
+
+Reference quirks replicated on purpose (they shape what the nets learn):
+  * `transform` hands ExtractorAttn a *normalized-coordinate* flow delta
+    that the block extractor interprets in *pixel units*
+    (generator.py:480-491 + block_extractor_kernel.cu:58-68).
+  * the identity grid subtracted from T uses meshgrid 'ij' indexing, so its
+    x channel varies along rows (generator.py:484-488).
+  * `stn`'s grid_sample uses align_corners=False while `resize_trans`
+    resizes T with align_corners=True (generator.py:466-478).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hoig_tpu.models.layers import (
+    ConvINReLU,
+    ResidualBlock,
+    SPADEBlock,
+    SPADEResidualBlock,
+    UpConvINReLU,
+    conv,
+)
+from hoig_tpu.ops.block_extractor import block_extractor_nhwc, local_attn_reshape_nhwc
+from hoig_tpu.ops.grid_sample import (
+    _resize_axis_linear_ac,
+    grid_sample_nhwc,
+)
+
+
+def _resize_flow(t: jax.Array, hw: int) -> jax.Array:
+    """Bilinear align_corners=True resize of (B, S, S, 2) to (B, hw, hw, 2)
+    (generator.py:466-472)."""
+    t = _resize_axis_linear_ac(t, 1, hw)
+    return _resize_axis_linear_ac(t, 2, hw)
+
+
+def _identity_grid_ij(h: int, dtype) -> jax.Array:
+    """The reference's identity grid (generator.py:484-488): arange(-1,1,2/h)
+    meshgrid with 'ij' indexing — x channel varies along rows (a quirk)."""
+    v = -1.0 + 2.0 * jnp.arange(h, dtype=dtype) / h
+    xx = jnp.broadcast_to(v[:, None], (h, h))
+    yy = jnp.broadcast_to(v[None, :], (h, h))
+    return jnp.stack([xx, yy], axis=-1)[None]
+
+
+class ExtractorAttn(nn.Module):
+    """Flow-guided local attention (extract_attn.py:8-37)."""
+
+    kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, source: jax.Array, target: jax.Array, flow: jax.Array):
+        k = self.kernel_size
+        block_source = block_extractor_nhwc(source, flow, k)
+        block_target = block_extractor_nhwc(target, jnp.zeros_like(flow), k)
+        x = jnp.concatenate([block_target, block_source], axis=-1)
+        x = conv(128, k, stride=k, pad=0, name="fc_0")(x)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+        x = conv(k * k, 1, name="fc_1")(x)
+        attn = nn.softmax(x, axis=-1)
+        attn = local_attn_reshape_nhwc(attn, k)
+        weighted = attn * block_source
+        return nn.avg_pool(weighted, (k, k), strides=(k, k))
+
+
+class ResNetGenerator(nn.Module):
+    """Background branch (generator.py:93-135)."""
+
+    conv_dim: int = 64
+    repeat_num: int = 6
+    k_size: int = 3
+    n_down: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = ConvINReLU(self.conv_dim, 7, 1, 3)(x)
+        dim = self.conv_dim
+        for _ in range(self.n_down):
+            x = ConvINReLU(dim * 2, self.k_size, 2, 1)(x)
+            dim *= 2
+        for _ in range(self.repeat_num):
+            x = ResidualBlock(dim)(x)
+        for _ in range(self.n_down):
+            x = UpConvINReLU(dim // 2, self.k_size)(x)
+            dim //= 2
+        x = conv(3, 7, 1, 3, use_bias=False)(x)
+        return jnp.tanh(x)
+
+
+class ResUnetGenerator(nn.Module):
+    """U-net branch with piecewise-callable stages (generator.py:138-315).
+
+    Exposed as separate encode / bottleneck / decode / regress methods so
+    `Generator` can run the src and tsf copies in lockstep with per-layer
+    warping, exactly like the reference drives `.encoders[i]` directly.
+    """
+
+    conv_dim: int = 64
+    repeat_num: int = 6
+    k_size: int = 3
+    n_down: int = 3
+    spade_layers: Sequence[int] = (0, 0, 0, 0)
+    on_obj: bool = False
+
+    def setup(self):
+        dim = self.conv_dim
+        enc = [ConvINReLU(dim, 7, 1, 3)]
+        for _ in range(self.n_down):
+            if self.spade_layers[0]:
+                enc.append(SPADEBlock(dim * 2, self.k_size, downsample=True))
+            else:
+                enc.append(ConvINReLU(dim * 2, self.k_size, 2, 1))
+            dim *= 2
+        self.encoders = enc
+
+        res = []
+        for i in range(self.repeat_num):
+            use_spade = (
+                self.spade_layers[1]
+                if i < self.repeat_num // 2
+                else self.spade_layers[2]
+            )
+            res.append(SPADEResidualBlock(dim) if use_spade else ResidualBlock(dim))
+        self.resnets = res
+
+        decs, skips = [], []
+        for _ in range(self.n_down):
+            if self.spade_layers[3]:
+                decs.append(SPADEBlock(dim // 2, self.k_size, downsample=False))
+            else:
+                decs.append(UpConvINReLU(dim // 2, self.k_size))
+            skips.append(ConvINReLU(dim // 2, self.k_size, 1, 1))
+            dim //= 2
+        self.decoders = decs
+        self.skippers = skips
+
+        self.img_reg = conv(3, 7, 1, 3, use_bias=False, name="img_reg")
+        if not self.on_obj:
+            self.attn_reg_hand = conv(1, 7, 1, 3, use_bias=False, name="attn_reg_hand")
+            self.attn_reg_bg = conv(1, 7, 1, 3, use_bias=False, name="attn_reg_bg")
+
+    @property
+    def num_channel(self):
+        """Channel width per lockstep layer index (generator.py:149,168,183,192)."""
+        out = {0: self.conv_dim}
+        dim = self.conv_dim
+        for i in range(self.n_down):
+            dim *= 2
+            out[i + 1] = dim
+        for i in range(self.repeat_num):
+            out[i + 1 + self.n_down] = dim
+        return out
+
+    def encode_layer(self, i: int, x: jax.Array, seg: jax.Array | None):
+        if i == 0:
+            return self.encoders[0](x)
+        if self.spade_layers[0]:
+            return self.encoders[i](x, seg)
+        return self.encoders[i](x)
+
+    def resnet_layer(self, i: int, x: jax.Array, seg: jax.Array | None):
+        use_spade = (
+            self.spade_layers[1] if i < self.repeat_num // 2 else self.spade_layers[2]
+        )
+        return self.resnets[i](x, seg) if use_spade else self.resnets[i](x)
+
+    def encode(self, x: jax.Array, seg: jax.Array | None = None):
+        outs = [self.encode_layer(0, x, seg)]
+        for i in range(1, self.n_down + 1):
+            outs.append(self.encode_layer(i, outs[-1], seg))
+        return outs
+
+    def bottleneck(self, x: jax.Array, seg: jax.Array | None = None):
+        for i in range(self.repeat_num):
+            x = self.resnet_layer(i, x, seg)
+        return x
+
+    def decode(self, x: jax.Array, encoder_outs, seg: jax.Array | None = None):
+        for i in range(self.n_down):
+            if self.spade_layers[3]:
+                x = self.decoders[i](x, seg)
+            else:
+                x = self.decoders[i](x)
+            skip = encoder_outs[self.n_down - 1 - i]
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = self.skippers[i](x)
+        return x
+
+    def regress(self, x: jax.Array, y: jax.Array | None = None):
+        if self.on_obj:
+            return jnp.tanh(self.img_reg(x))
+        rgb = jnp.tanh(self.img_reg(x))
+        mask_hand = nn.sigmoid(self.attn_reg_hand(x))
+        mask_bg = nn.sigmoid(self.attn_reg_bg(jnp.concatenate([x, y], axis=-1)))
+        return rgb, mask_hand, mask_bg
+
+    def __call__(self, x: jax.Array, seg: jax.Array | None = None):
+        outs = self.encode(x, seg)
+        z = self.bottleneck(outs[-1], seg)
+        return self.decode(z, outs, seg)
+
+
+class Generator(nn.Module):
+    """Full HOGAN generator (generator.py:325-464), NHWC in/out.
+
+    Inputs mirror the reference forward: bg_inputs (B,S,S,4[+...]),
+    src/tsf obj and hand RGB inputs, flow T (B,S,S,2), optional cond maps
+    (SPADE variants) and armasks (HOv3).
+    """
+
+    bg_dim: int = 8
+    img_dim: int = 3
+    obj_dim: int = 3
+    img_cond_dim: int = 0
+    obj_cond_dim: int = 0
+    conv_dim: int = 64
+    repeat_num: int = 6
+    spade_layers: Sequence[int] = (0, 0, 0, 0)
+    attn_layers: Sequence[int] = ()
+    n_down: int = 3
+
+    def setup(self):
+        self.bg_model = ResNetGenerator(
+            conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
+            n_down=self.n_down,
+        )
+        self.obj_model = ResUnetGenerator(
+            conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
+            n_down=self.n_down, spade_layers=self.spade_layers, on_obj=True,
+        )
+        self.src_model = ResUnetGenerator(
+            conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
+            n_down=self.n_down, spade_layers=self.spade_layers,
+        )
+        self.tsf_model = ResUnetGenerator(
+            conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
+            n_down=self.n_down, spade_layers=self.spade_layers,
+        )
+        self.attns = {
+            str(l): ExtractorAttn(kernel_size=5, name=f"attn_{l}")
+            for l in self.attn_layers
+        }
+
+    def _transform(self, x, t, y=None, layer=None):
+        t_scale = _resize_flow(t, x.shape[1])
+        if layer is not None and layer in self.attn_layers:
+            idt = _identity_grid_ij(x.shape[1], t_scale.dtype)
+            flow = t_scale - idt  # quirk: normalized delta used as pixels
+            return self.attns[str(layer)](x, y, flow)
+        return grid_sample_nhwc(x, t_scale, align_corners=False)
+
+    def __call__(
+        self,
+        bg_inputs,
+        src_obj_inputs,
+        tsf_obj_inputs,
+        src_hand_inputs,
+        tsf_hand_inputs,
+        T,
+        src_obj_conds=None,
+        src_hand_conds=None,
+        tsf_obj_conds=None,
+        tsf_hand_conds=None,
+        src_armask=None,
+        tsf_armask=None,
+    ):
+        cat = lambda xs: jnp.concatenate([x for x in xs if x is not None], axis=-1)
+        if src_obj_conds is None or src_hand_conds is None:
+            src_bg = cat([bg_inputs, src_obj_inputs[..., 3:]])
+            tsf_bg = cat([bg_inputs, tsf_hand_inputs[..., 3:]])
+        else:
+            src_bg = cat([bg_inputs, src_hand_conds])
+            tsf_bg = cat([bg_inputs, tsf_hand_conds])
+        src_bg = cat([src_bg, src_armask])
+        tsf_bg = cat([tsf_bg, tsf_armask])
+
+        src_img_bg = self.bg_model(src_bg)
+        tsf_img_bg = self.bg_model(tsf_bg)
+
+        (src_obj, src_hand, src_mask_bg, src_mask_hand,
+         tsf_obj, tsf_hand, tsf_mask_bg, tsf_mask_hand) = self.infer_front(
+            src_obj_inputs, tsf_obj_inputs, src_hand_inputs, tsf_hand_inputs, T,
+            src_obj_conds, src_hand_conds, tsf_obj_conds, tsf_hand_conds,
+        )
+        return (src_img_bg, tsf_img_bg, src_obj, src_hand, src_mask_bg,
+                src_mask_hand, tsf_obj, tsf_hand, tsf_mask_bg, tsf_mask_hand)
+
+    def infer_front(
+        self, src_obj_inputs, tsf_obj_inputs, src_hand_inputs, tsf_hand_inputs, T,
+        src_obj_conds, src_hand_conds, tsf_obj_conds, tsf_hand_conds,
+    ):
+        """Two-stream lockstep encoders with per-layer warp-and-add
+        (generator.py:379-446)."""
+        src_x = self.src_model.encode_layer(0, src_hand_inputs, src_hand_conds)
+        tsf_x = self.tsf_model.encode_layer(0, tsf_hand_inputs, tsf_hand_conds)
+        src_outs, tsf_outs = [src_x], [tsf_x]
+
+        for i in range(1, self.n_down + 1):
+            src_x = self.src_model.encode_layer(i, src_x, src_hand_conds)
+            tsf_x = self.tsf_model.encode_layer(i, tsf_x, tsf_hand_conds)
+            tsf_x = tsf_x + self._transform(src_x, T, y=tsf_x, layer=i)
+            src_outs.append(src_x)
+            tsf_outs.append(tsf_x)
+
+        for i in range(self.repeat_num):
+            src_x = self.src_model.resnet_layer(i, src_x, src_hand_conds)
+            tsf_x = self.tsf_model.resnet_layer(i, tsf_x, tsf_hand_conds)
+            layer = i + self.n_down + 1
+            tsf_x = tsf_x + self._transform(src_x, T, y=tsf_x, layer=layer)
+
+        src_y = self.obj_model(src_obj_inputs, src_obj_conds)
+        tsf_y = self.obj_model(tsf_obj_inputs, tsf_obj_conds)
+        seg_dec = src_hand_conds if self.spade_layers[3] else None
+        src_x = self.src_model.decode(src_x, src_outs, seg_dec)
+        tsf_x = self.tsf_model.decode(
+            tsf_x, tsf_outs, tsf_hand_conds if self.spade_layers[3] else None
+        )
+        src_hand, src_mask_hand, src_mask_bg = self.src_model.regress(src_x, src_y)
+        tsf_hand, tsf_mask_hand, tsf_mask_bg = self.tsf_model.regress(tsf_x, tsf_y)
+        src_obj = self.obj_model.regress(src_y)
+        tsf_obj = self.obj_model.regress(tsf_y)
+        return (src_obj, src_hand, src_mask_bg, src_mask_hand,
+                tsf_obj, tsf_hand, tsf_mask_bg, tsf_mask_hand)

@@ -94,3 +94,61 @@ def local_attn_reshape(x: jax.Array, kernel_size: int) -> jax.Array:
     x = x.reshape(b, k, k, h, w)  # (B, oy, ox, H, W)
     x = x.transpose(0, 3, 1, 4, 2)  # (B, H, oy, W, ox)
     return x.reshape(b, 1, h * k, w * k)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size",))
+def block_extractor_nhwc(
+    source: jax.Array, flow: jax.Array, kernel_size: int
+) -> jax.Array:
+    """NHWC layout block extractor (TPU-native for the conv nets).
+
+    Args:
+      source: (B, H, W, C).
+      flow: (B, H, W, 2); [..., 0] = x offset, [..., 1] = y offset, in the
+        reference's pixel-unit interpretation.
+      kernel_size: k.
+
+    Returns:
+      (B, k*H, k*W, C) array.
+    """
+    b, h, w, c = source.shape
+    k = kernel_size
+
+    oy = jax.lax.broadcasted_iota(jnp.int32, (h * k, w * k), 0) % k - k // 2
+    ox = jax.lax.broadcasted_iota(jnp.int32, (h * k, w * k), 1) % k - k // 2
+    yf = jax.lax.broadcasted_iota(jnp.int32, (h * k, w * k), 0) // k
+    xf = jax.lax.broadcasted_iota(jnp.int32, (h * k, w * k), 1) // k
+
+    ft = flow.dtype
+    flow_up = jnp.repeat(jnp.repeat(flow, k, axis=1), k, axis=2)  # (B,kh,kw,2)
+    dx = flow_up[..., 0] + (ox + xf).astype(ft)
+    dy = flow_up[..., 1] + (oy + yf).astype(ft)
+
+    x0 = jnp.floor(dx)
+    y0 = jnp.floor(dy)
+    tx = dx - x0
+    ty = dy - y0
+
+    src_flat = source.reshape(b, h * w, c)
+    out = None
+    for dyi, wy in ((0, 1.0 - ty), (1, ty)):
+        ycl = jnp.clip(y0 + dyi, 0, h - 1).astype(jnp.int32)
+        for dxi, wx in ((0, 1.0 - tx), (1, tx)):
+            xcl = jnp.clip(x0 + dxi, 0, w - 1).astype(jnp.int32)
+            idx = (ycl * w + xcl).reshape(b, -1, 1)
+            vals = jnp.take_along_axis(src_flat, idx, axis=1)
+            contrib = vals * (wy * wx).reshape(b, -1, 1).astype(source.dtype)
+            out = contrib if out is None else out + contrib
+    return out.reshape(b, h * k, w * k, c)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size",))
+def local_attn_reshape_nhwc(x: jax.Array, kernel_size: int) -> jax.Array:
+    """NHWC layout scatter: (B, H, W, k*k) -> (B, k*H, k*W, 1)."""
+    b, h, w, kk = x.shape
+    k = kernel_size
+    if kk != k * k:
+        raise ValueError(f"channel dim {kk} != kernel_size^2 {k * k}")
+    x = x.reshape(b, h, w, k, k)  # (B, H, W, oy, ox)
+    x = x.transpose(0, 1, 3, 2, 4)  # (B, H, oy, W, ox)
+    return x.reshape(b, h * k, w * k, 1)

@@ -115,3 +115,39 @@ def avg_pool(image: jax.Array, ks: int, stride: int | None = None) -> jax.Array:
         image, jnp.asarray(0.0, image.dtype), jax.lax.add, window, strides, "VALID"
     )
     return summed / (ks * ks)
+
+
+def grid_sample_nhwc(
+    image: jax.Array, grid: jax.Array, align_corners: bool = False
+) -> jax.Array:
+    """Bilinear sample on NHWC images (TPU-native layout for the conv nets).
+
+    Same semantics as `grid_sample` but image is (N, H, W, C). Channels-last
+    keeps the gather contiguous over the channel (lane) dimension.
+    """
+    n, h, w, c = image.shape
+    gx = _unnormalize(grid[..., 0].astype(jnp.float32), w, align_corners)
+    gy = _unnormalize(grid[..., 1].astype(jnp.float32), h, align_corners)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    tx = gx - x0
+    ty = gy - y0
+
+    out = None
+    img_flat = image.reshape(n, h * w, c)
+    for dy, wy in ((0, 1.0 - ty), (1, ty)):
+        yi = y0 + dy
+        y_ok = (yi >= 0) & (yi <= h - 1)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        for dx, wx in ((0, 1.0 - tx), (1, tx)):
+            xi = x0 + dx
+            x_ok = (xi >= 0) & (xi <= w - 1)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            weight = jnp.where(y_ok & x_ok, wy * wx, 0.0)  # (N, Ho, Wo)
+            idx = (yc * w + xc).reshape(n, -1, 1)
+            vals = jnp.take_along_axis(img_flat, idx, axis=1)  # (N, Ho*Wo, C)
+            contrib = vals * weight.reshape(n, -1, 1).astype(image.dtype)
+            out = contrib if out is None else out + contrib
+    ho, wo = grid.shape[1], grid.shape[2]
+    return out.reshape(n, ho, wo, c)

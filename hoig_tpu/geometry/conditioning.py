@@ -68,8 +68,16 @@ def get_details(
       {'cam': (B, 9|4 + 6), 'verts': (B, 778+Vobj, 3), 'obj_id': (B,)}.
     """
     b = theta["cam"].shape[0]
-    root = theta["pose"][:, :3]
-    hand_pose = theta["pose"][:, 3:]
+    pose = theta["pose"]
+    handtrans = theta.get("handtrans")
+    if handtrans is None:
+        # DexYCB pose_m layout: 48 pose ++ 3 translation
+        # (HOIG_DexYCB/models/networks/hmr.py:85)
+        handtrans = pose[:, 48:51]
+        pose = pose[:, :48]
+    root = pose[:, :3]
+    hand_pose = pose[:, 3:]
+    theta = dict(theta, handtrans=handtrans)
     if cfg.mano_pca_comps > 0:
         hand_pose = pca_to_axisang(hand_pose, mano_params, ncomps=cfg.mano_pca_comps)
         out = mano_forward(

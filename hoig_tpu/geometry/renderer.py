@@ -47,10 +47,11 @@ from hoig_tpu.ops.rasterizer import rasterize_fim_wim
 NUM_HAND_VERTS = 778
 NUM_HAND_FACES = 1538
 
-# Unified surface space layout (nmr.py:389-392): hand 256 | gap 128 | obj 256.
+# Unified surface space layout (nmr.py:389-392): hand S | gap S/2 | obj S
+# (256 | 128 | 256 at the reference's fixed 256 resolution; scaled with
+# image_size here so the whole pipeline works at any resolution).
 ATLAS_H = 256
 ATLAS_W = 640
-ATLAS_GAP = 128
 # faces_uv_coord affine (nmr.py:393-395).
 ATLAS_MEAN = np.array([1.25, 0.5], np.float32)
 ATLAS_SCALE = np.array([0.8, -2.0], np.float32)
@@ -85,10 +86,10 @@ class SurfaceTables:
     num_verts: np.ndarray  # (O,) int32 (hand + object)
     map_fn: np.ndarray  # (O, Fmax+1, 3); padding rows & last row = bg
     sem: np.ndarray  # (O, Fmax+1, 1)
-    fim_uv: np.ndarray  # (O, 256, 640) int32
-    wim_uv: np.ndarray  # (O, 256, 640, 3)
+    fim_uv: np.ndarray  # (O, S, 2.5*S) int32
+    wim_uv: np.ndarray  # (O, S, 2.5*S, 3)
     faces_uv_coord: np.ndarray  # (O, Fmax, 3, 2) atlas sampling coords
-    obj_tex: np.ndarray  # (O, 3, 256, 256) in [-1, 1]
+    obj_tex: np.ndarray  # (O, 3, S, S) in [-1, 1]
     object_names: list
 
     def as_jax(self) -> dict:
@@ -179,8 +180,9 @@ def build_surface_tables(
         )
 
         obj_fim, obj_wim = _rasterize_uv_atlas(info["vts"], info["faces_vts"], image_size)
-        gap_fim = -np.ones((image_size, ATLAS_GAP), np.int32)
-        gap_wim = np.zeros((image_size, ATLAS_GAP, 3), np.float32)
+        gap = image_size // 2
+        gap_fim = -np.ones((image_size, gap), np.int32)
+        gap_wim = np.zeros((image_size, gap, 3), np.float32)
         fim_uv = np.concatenate(
             [hand_fim, gap_fim, np.where(obj_fim >= 0, obj_fim + NUM_HAND_FACES, -1)],
             axis=1,
@@ -197,9 +199,10 @@ def build_surface_tables(
             import cv2
 
             img = cv2.imread(spec.texture_path)[:, :, ::-1]
-            img = cv2.resize(img, (256, 256)).astype(np.float32) / 255.0 * 2.0 - 1.0
+            img = cv2.resize(img, (image_size, image_size))
+            img = img.astype(np.float32) / 255.0 * 2.0 - 1.0
         else:
-            img = np.zeros((256, 256, 3), np.float32)
+            img = np.zeros((image_size, image_size, 3), np.float32)
         obj_tex = img.transpose(2, 0, 1)
 
         per_obj.append(
@@ -414,10 +417,9 @@ def get_texture_backward_warp(
     syn_tex = syn_tex * (1.0 - o) + o  # white (=1.0) fill
 
     if pre_load:
-        obj_tex = jnp.take(tables["obj_tex"], obj_ids, axis=0)  # (B, 3, 256, 256)
-        syn_tex = jnp.concatenate(
-            [syn_tex[:, :, :, : ATLAS_W - 256], obj_tex], axis=3
-        )
+        obj_tex = jnp.take(tables["obj_tex"], obj_ids, axis=0)  # (B, 3, S, S)
+        hand_cols = syn_tex.shape[3] - obj_tex.shape[3]
+        syn_tex = jnp.concatenate([syn_tex[:, :, :, :hand_cols], obj_tex], axis=3)
     return syn_tex
 
 

@@ -1,0 +1,92 @@
+"""Checkpoint save/load with the reference's directory naming contract.
+
+Capability parity with HOIG_HOv3/models/base_model.py:78-124: files are
+`net_epoch_{E}_id_{G|D}` and `opt_epoch_{E}_id_{G|D}` under
+checkpoints_dir/name, so the reference's auto-resume scan
+(options/base_options.py:95-113, `startswith("net_epoch_")`, epoch =
+int(name.split('_')[2])) keeps working unchanged. Payload is flax msgpack
+(.ckpt) instead of torch pickles.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def _path(save_dir: str, kind: str, epoch, label: str) -> str:
+    return os.path.join(save_dir, f"{kind}_epoch_{epoch}_id_{label}.ckpt")
+
+
+def save_tree(tree, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    host = jax.tree.map(np.asarray, tree)
+    with open(path, "wb") as fp:
+        fp.write(flax.serialization.to_bytes(host))
+
+
+def load_tree(template, path: str):
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"Weights file not found. Have you trained a model!? {path}"
+        )
+    with open(path, "rb") as fp:
+        return flax.serialization.from_bytes(template, fp.read())
+
+
+def save_checkpoint(save_dir: str, epoch, state) -> None:
+    """Write net/opt files for G and D at `epoch` (may be 'latest')."""
+    save_tree(state.params_g, _path(save_dir, "net", epoch, "G"))
+    save_tree(state.params_d, _path(save_dir, "net", epoch, "D"))
+    save_tree(
+        {"opt": state.opt_g, "lr": state.lr_g, "step": state.step},
+        _path(save_dir, "opt", epoch, "G"),
+    )
+    save_tree(
+        {"opt": state.opt_d, "lr": state.lr_d}, _path(save_dir, "opt", epoch, "D")
+    )
+
+
+def load_checkpoint(save_dir: str, epoch, state, load_optimizers: bool = True):
+    """Restore a TrainState saved by save_checkpoint."""
+    params_g = load_tree(state.params_g, _path(save_dir, "net", epoch, "G"))
+    state = state.replace(params_g=params_g)
+    if load_optimizers:
+        params_d = load_tree(state.params_d, _path(save_dir, "net", epoch, "D"))
+        og = load_tree(
+            {"opt": state.opt_g, "lr": state.lr_g, "step": state.step},
+            _path(save_dir, "opt", epoch, "G"),
+        )
+        od = load_tree(
+            {"opt": state.opt_d, "lr": state.lr_d}, _path(save_dir, "opt", epoch, "D")
+        )
+        state = state.replace(
+            params_d=params_d,
+            opt_g=og["opt"],
+            lr_g=og["lr"],
+            step=og["step"],
+            opt_d=od["opt"],
+            lr_d=od["lr"],
+        )
+    return state
+
+
+def load_generator_params(params_template, load_path: str):
+    """--load_path eval-style G-only restore (trainer.py:206-208)."""
+    return load_tree(params_template, load_path)
+
+
+def scan_latest_epoch(save_dir: str) -> int:
+    """Auto-resume scan (base_options.py:95-113)."""
+    if not os.path.isdir(save_dir):
+        return 0
+    latest = 0
+    for f in os.listdir(save_dir):
+        m = re.match(r"net_epoch_(\d+)_", f)
+        if m:
+            latest = max(latest, int(m.group(1)))
+    return latest

@@ -1,0 +1,285 @@
+"""Reference Trainer-API facade over the functional core.
+
+Capability parity with the reference `ModelsFactory` / `Trainer` surface
+(models/__init__.py:5-15, models/trainer.py:188-595): set_input / forward /
+optimize_parameters / save / load / update_learning_rate /
+get_current_{errors,visuals,scalars} / set_train / set_eval — so the entry
+points (train.py / eval.py) read like the reference's.
+
+Underneath: one jit-compiled conditioning+GAN step on a data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hoig_tpu.geometry.conditioning import hand_recovery_flow
+from hoig_tpu.models.vgg import Vgg19Features, load_torch_weights
+from hoig_tpu.parallel import DataParallel, make_data_mesh
+from hoig_tpu.train import checkpoints as ckpt
+from hoig_tpu.train.environment import build_environment, train_config_from_opt
+from hoig_tpu.train.trainer import (
+    build_networks,
+    composite,
+    decay_lr,
+    generator_kwargs,
+    init_state,
+    make_train_step,
+)
+from hoig_tpu.utils.util import Colorize, tensor2im, tensor2maskim
+
+
+class ModelsFactory:
+    @staticmethod
+    def get_by_name(model_name: str, opt, use_ddp: bool = False, env=None):
+        if model_name == "trainer":
+            return HOIGModel(opt, use_ddp=use_ddp, env=env)
+        raise ValueError(f"Model {model_name} not recognized.")
+
+
+def _device_batch(batch: dict) -> dict:
+    keep = {"imageA", "imageB", "maskA", "maskB", "manoA", "manoB"}
+    out = {}
+    for k, v in batch.items():
+        if k not in keep:
+            continue
+        out[k] = (
+            {kk: jnp.asarray(vv) for kk, vv in v.items() if not isinstance(vv, list)}
+            if isinstance(v, dict)
+            else jnp.asarray(v)
+        )
+    return out
+
+
+class HOIGModel:
+    """GAN trainer with the reference's method surface."""
+
+    def __init__(self, opt, use_ddp: bool = False, env=None):
+        self._opt = opt
+        self._name = "Trainer"
+        self._is_train = getattr(opt, "is_train", False)
+        self._save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+
+        self._env = env or build_environment(opt)
+        self._tcfg = train_config_from_opt(opt)
+        self._ccfg = self._env["ccfg"]
+        tables, mano_params = self._env["tables"], self._env["mano_params"]
+
+        self._G, self._D = build_networks(self._tcfg)
+        self._vgg = Vgg19Features()
+        rng = jax.random.PRNGKey(8)  # reference setup_seed(8), train.py:153
+        s = opt.image_size
+        self._vgg_params = self._vgg.init(rng, jnp.zeros((1, s, s, 3)))
+        vgg_path = getattr(opt, "vgg_weights", None)
+        if vgg_path and os.path.exists(vgg_path):
+            self._vgg_params = load_torch_weights(
+                self._vgg_params, _load_state_dict(vgg_path)
+            )
+            print(f"loaded vgg19 weights from {vgg_path}")
+        elif self._tcfg.use_vgg:
+            print("[warn] --use_vgg without --vgg_weights: random-feature "
+                  "perceptual loss (deterministic init)")
+
+        # init network params: infer generator input shapes WITHOUT running
+        # the conditioning stage (jax.eval_shape), then one jitted init —
+        # eager-op dispatch is expensive on this platform (remote compiles)
+        b = max(1, opt.batch_size)
+        dummy = _dummy_batch(b, s, self._ccfg, self._env, self._tcfg)
+
+        def _gkw_of(batch):
+            flow = hand_recovery_flow(
+                tables, mano_params, batch["imageA"], batch["imageB"],
+                batch["manoA"], batch["manoB"], self._ccfg,
+            )
+            return generator_kwargs(
+                flow, batch.get("maskA"), batch.get("maskB"), self._tcfg.use_spade
+            )
+
+        gkw_shapes = jax.eval_shape(_gkw_of, dummy)
+        gkw = {
+            k: (None if v is None else jnp.zeros(v.shape, v.dtype))
+            for k, v in gkw_shapes.items()
+        }
+        self._state = init_state(
+            rng, self._G, self._D, self._tcfg, gkw,
+            jnp.zeros((b, s, s, self._tcfg.d_input_nc)),
+        )
+
+        step_fn = make_train_step(
+            self._G, self._D, self._vgg, self._vgg_params, tables, mano_params,
+            self._ccfg, self._tcfg,
+        )
+        self._dp = DataParallel(step_fn, make_data_mesh())
+        self._state = self._dp.replicate(self._state)
+
+        self._flow_fn = jax.jit(
+            functools.partial(
+                _flow_only, tables=tables, mano_params=mano_params, ccfg=self._ccfg
+            )
+        )
+        self._fwd_fn = jax.jit(
+            functools.partial(_forward_only, model=self._G, tcfg=self._tcfg)
+        )
+
+        # load networks (reference __init__ tail, trainer.py:206-210)
+        if getattr(opt, "load_path", None) not in (None, "None"):
+            self._state = self._state.replace(
+                params_g=ckpt.load_generator_params(
+                    self._state.params_g, opt.load_path
+                )
+            )
+        elif (not self._is_train) or getattr(opt, "load_epoch", 0) > 0:
+            if opt.load_epoch > 0:
+                self.load()
+
+        self.colorize = Colorize(16)
+        self._errors = OrderedDict()
+        self._visuals_cache = {}
+        self._batch = None
+        self._flow = None
+
+    # ------------------------------------------------------------- reference API
+    @property
+    def is_train(self):
+        return self._is_train
+
+    def set_train(self):
+        self._is_train = True
+
+    def set_eval(self):
+        self._is_train = False
+
+    def set_input(self, batch: dict):
+        self._batch = _device_batch(batch)
+        self._flow = None  # conditioning is fused into the train step
+
+    def forward(self, keep_data_for_visuals: bool = False, return_estimates: bool = False):
+        """Eval-path generation (no parameter update)."""
+        self._flow = self._flow_fn(self._batch)
+        fakes = self._fwd_fn(self._state.params_g, self._flow, self._batch)
+        fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = fakes
+        if keep_data_for_visuals:
+            self._keep_visuals(fake_src, fake_tsf, tsf_mbg, tsf_mh)
+        return fakes
+
+    def optimize_parameters(self, trainable: bool = True, keep_data_for_visuals: bool = False):
+        if not self._is_train:
+            return
+        self._state, metrics = self._dp.step(
+            self._state, self._batch, jnp.asarray(bool(trainable))
+        )
+        self._errors = metrics
+        if keep_data_for_visuals:
+            self.forward(keep_data_for_visuals=True)
+
+    def get_current_errors(self) -> OrderedDict:
+        keys = ["g_rec", "g_tsf", "g_adv", "g_mask", "g_mask_smooth", "d_real", "d_fake"]
+        return OrderedDict(
+            (k, float(self._errors.get(k, 0.0))) for k in keys
+        )
+
+    def get_current_scalars(self) -> OrderedDict:
+        return OrderedDict(
+            [("lr_G", float(self._state.lr_g)), ("lr_D", float(self._state.lr_d))]
+        )
+
+    def get_current_visuals(self) -> OrderedDict:
+        return OrderedDict(self._visuals_cache)
+
+    def save(self, label):
+        ckpt.save_checkpoint(self._save_dir, label, self._state)
+
+    def load(self):
+        self._state = ckpt.load_checkpoint(
+            self._save_dir, self._opt.load_epoch, self._state,
+            load_optimizers=self._is_train,
+        )
+
+    def update_learning_rate(self):
+        old = float(self._state.lr_g)
+        self._state = decay_lr(self._state, self._tcfg)
+        print(f"update G learning rate: {old:f} -> {float(self._state.lr_g):f}")
+        print(f"update D learning rate: {old:f} -> {float(self._state.lr_d):f}")
+
+    # ------------------------------------------------------------------ helpers
+    def _keep_visuals(self, fake_src, fake_tsf, tsf_mbg, tsf_mh):
+        tochw = lambda x: np.asarray(x).transpose(0, 3, 1, 2)
+        batch = self._batch
+        vis = OrderedDict()
+        vis["1_real_img"] = tensor2im(np.asarray(batch["imageA"]))
+        flow = self._flow
+        vis["2_input_src_obj"] = tensor2im(np.asarray(flow["input_G_src_obj"][:, :3]))
+        vis["2_input_src_hand"] = tensor2im(np.asarray(flow["input_G_src_hand"][:, :3]))
+        vis["2_input_tsf_obj"] = tensor2im(np.asarray(flow["input_G_tsf_obj"][:, :3]))
+        vis["2_input_tsf_hand"] = tensor2im(np.asarray(flow["input_G_tsf_hand"][:, :3]))
+        vis["10_fake_tsf"] = tensor2im(tochw(fake_tsf))
+        vis["11_fake_src"] = tensor2im(tochw(fake_src))
+        vis["12_fake_mask_bg"] = tensor2maskim(tochw(tsf_mbg))
+        vis["13_fake_mask_hand"] = tensor2maskim(tochw(tsf_mh))
+        vis["14_batch_real_img"] = tensor2im(np.asarray(batch["imageB"]), idx=-1)
+        vis["15_batch_fake_img"] = tensor2im(tochw(fake_tsf), idx=-1)
+        vis["16_batch_src_img"] = tensor2im(np.asarray(batch["imageA"]), idx=-1)
+        self._visuals_cache = vis
+
+
+def _flow_only(batch, tables, mano_params, ccfg):
+    return hand_recovery_flow(
+        tables, mano_params, batch["imageA"], batch["imageB"],
+        batch["manoA"], batch["manoB"], ccfg,
+    )
+
+
+def _forward_only(params_g, flow, batch, model, tcfg):
+    kwargs = generator_kwargs(
+        flow,
+        batch.get("maskA") if tcfg.use_armask else None,
+        batch.get("maskB") if tcfg.use_armask else None,
+        tcfg.use_spade,
+    )
+    return composite(model.apply(params_g, **kwargs))
+
+
+def _dummy_batch(b, s, ccfg, env, tcfg):
+    from hoig_tpu.data.synthetic import synthetic_theta
+
+    tables_np = env["tables_np"]
+    n_obj = tables_np.faces.shape[0]
+    v_obj = int(tables_np.num_verts.max()) - 778
+    rng = np.random.RandomState(0)
+    mk = lambda seed: {
+        k: jnp.asarray(v)
+        for k, v in synthetic_theta(
+            b, [rng.randn(v_obj, 3).astype(np.float32) * 0.05],
+            seed=seed,
+            camera="fxfy" if ccfg.camera_model == "fxfy" else "matrix",
+        ).items()
+    }
+    ta, tb = mk(1), mk(2)
+    if ccfg.camera_model == "fxfy":
+        # DexYCB: pose carries translation, no handtrans key
+        for t in (ta, tb):
+            t["pose"] = jnp.concatenate([t["pose"], t.pop("handtrans")], axis=1)
+    batch = dict(
+        imageA=jnp.zeros((b, 3, s, s)),
+        imageB=jnp.zeros((b, 3, s, s)),
+        manoA=ta,
+        manoB=tb,
+    )
+    if tcfg.use_armask:
+        batch["maskA"] = jnp.zeros((b, 1, s, s))
+        batch["maskB"] = jnp.zeros((b, 1, s, s))
+    return batch
+
+
+def _load_state_dict(path: str):
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    return torch.load(path, map_location="cpu")

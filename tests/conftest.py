@@ -3,16 +3,24 @@
 The reference never tests multi-GPU without hardware (SURVEY.md §4); here
 multi-device correctness is tested on CPU via XLA's host-platform device
 splitting — the TPU-native analog of a fake backend.
+
+NOTE: this environment auto-loads a TPU platform plugin at interpreter
+startup and the JAX_PLATFORMS env var is read before user code runs, so
+the only reliable way to force the local CPU backend (with fast local
+compilation) is jax.config.update after import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -51,10 +51,16 @@ def gen_trans_from_patch_cv(
 
 
 def generate_patch_image(cvimg, bbox, do_flip, scale, rot, out_shape):
-    """bbox crop -> (out_shape) patch + affine (hov3_dataset.py:62-80)."""
-    import cv2
+    """bbox crop -> (out_shape) patch + affine (hov3_dataset.py:62-80).
 
-    img = cvimg.copy()
+    The warp runs through the native C++ kernel (hoig_tpu/runtime/warp.cc)
+    when built — the per-sample hot path the reference delegates to cv2
+    inside torch's C++ DataLoader workers — with a cv2 fallback inside
+    `warp_affine` itself.
+    """
+    from hoig_tpu.runtime import warp_affine
+
+    img = cvimg
     img_height, img_width = img.shape[:2]
     bb_c_x = float(bbox[0] + 0.5 * bbox[2])
     bb_c_y = float(bbox[1] + 0.5 * bbox[3])
@@ -66,9 +72,9 @@ def generate_patch_image(cvimg, bbox, do_flip, scale, rot, out_shape):
     trans = gen_trans_from_patch_cv(
         bb_c_x, bb_c_y, bb_width, bb_height, out_shape[1], out_shape[0], scale, rot
     )
-    patch = cv2.warpAffine(
-        img, trans, (int(out_shape[1]), int(out_shape[0])), flags=cv2.INTER_LINEAR
-    ).astype(np.float32)
+    patch = warp_affine(
+        np.ascontiguousarray(img), trans, (int(out_shape[0]), int(out_shape[1]))
+    )
     inv_trans = gen_trans_from_patch_cv(
         bb_c_x, bb_c_y, bb_width, bb_height, out_shape[1], out_shape[0], scale, rot,
         inv=True,

@@ -83,16 +83,17 @@ def synthetic_environment(num_objects: int = 2, image_size: int = 256, seed: int
     return _CACHE[key]
 
 
-def synthetic_theta(batch_size: int, obj_verts, seed: int = 0, camera: str = "matrix"):
+def synthetic_theta(batch_size: int, obj_verts, seed: int = 0,
+                    camera: str = "matrix", image_size: int = 256):
     """Random MANO+object pose params shaped like the dataset output."""
     rng = np.random.RandomState(seed)
     b = batch_size
+    f = 500.0 * image_size / 256.0
+    c = 128.0 * image_size / 256.0
     if camera == "matrix":
-        cam = np.tile(
-            np.array([500, 0, 128, 0, 500, 128, 0, 0, 1], np.float32), (b, 1)
-        )
+        cam = np.tile(np.array([f, 0, c, 0, f, c, 0, 0, 1], np.float32), (b, 1))
     else:
-        cam = np.tile(np.array([500, 500, 128, 128], np.float32), (b, 1))
+        cam = np.tile(np.array([f, f, c, c], np.float32), (b, 1))
     n_obj = len(obj_verts)
     obj_id = rng.randint(0, n_obj, b).astype(np.int32)
     v_max = max(v.shape[0] for v in obj_verts)
@@ -119,8 +120,8 @@ def synthetic_batch(batch_size: int, obj_verts, image_size: int = 256, seed: int
     batch = dict(
         imageA=(rng.rand(b, 3, image_size, image_size) * 2 - 1).astype(np.float32),
         imageB=(rng.rand(b, 3, image_size, image_size) * 2 - 1).astype(np.float32),
-        manoA=synthetic_theta(b, obj_verts, seed=seed * 2 + 1),
-        manoB=synthetic_theta(b, obj_verts, seed=seed * 2 + 2),
+        manoA=synthetic_theta(b, obj_verts, seed=seed * 2 + 1, image_size=image_size),
+        manoB=synthetic_theta(b, obj_verts, seed=seed * 2 + 2, image_size=image_size),
     )
     # pairs share the object identity (same video clip in the reference)
     batch["manoB"]["obj_id"] = batch["manoA"]["obj_id"]

@@ -35,8 +35,10 @@ class SyntheticDataset(DatasetBase):
     def __getitem__(self, index):
         rng = np.random.RandomState(index)
         s = self.image_size
-        theta_a = synthetic_theta(1, self._obj_verts, seed=index * 2 + 1)
-        theta_b = synthetic_theta(1, self._obj_verts, seed=index * 2 + 2)
+        theta_a = synthetic_theta(1, self._obj_verts, seed=index * 2 + 1,
+                                  image_size=s)
+        theta_b = synthetic_theta(1, self._obj_verts, seed=index * 2 + 2,
+                                  image_size=s)
         theta_b["obj_id"] = theta_a["obj_id"]
         squeeze = lambda d: {k: v[0] for k, v in d.items()}
         return {

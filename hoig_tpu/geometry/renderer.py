@@ -466,3 +466,126 @@ def render_depth(tables, cam, verts, obj_ids, image_size=256, camera_model="matr
     valid = jnp.take(tables["face_valid"], obj_ids, axis=0)
     face_verts = vertices_to_faces(view, faces)
     return rasterize_depth(face_verts, valid, image_size=image_size, near=0.1, far=25.0)
+
+
+# ---------------------------------------------------------------------------
+# Generic texture / RGB render path (nmr.py:420-475, 608-760 capability)
+# ---------------------------------------------------------------------------
+
+
+def create_coords(tex_size: int = 3) -> jnp.ndarray:
+    """(2, T*T) barycentric sample grid (nmr.py:731-746)."""
+    import numpy as _np
+
+    step = 1.0 if tex_size == 1 else 1.0 / (tex_size - 1)
+    ab = _np.arange(0, 1 + step, step, dtype=_np.float32)
+    xv, yv = _np.meshgrid(ab, ab, indexing="ij")
+    return jnp.asarray(_np.stack([xv.ravel(), yv.ravel()], axis=0))
+
+
+def create_meshgrid(image_size: int) -> jnp.ndarray:
+    """(S, S, 2) sampling grid in [-1,1], (y, x) stacking quirk kept
+    (nmr.py:749-760)."""
+    import numpy as _np
+
+    factor = (_np.arange(image_size, dtype=_np.float32) / (image_size - 1) - 0.5) * 2
+    xv, yv = _np.meshgrid(factor, factor, indexing="ij")
+    return jnp.asarray(_np.stack([yv, xv], axis=-1))
+
+
+def points_to_sampler(coords: jax.Array, faces_pts: jax.Array) -> jax.Array:
+    """Per-face barycentric sample points (nmr.py:709-728).
+
+    coords: (2, T*T); faces_pts: (B, F, 3, 2) -> (B, F, T*T, 2) in [-1,1].
+    """
+    v2 = faces_pts[:, :, 2]
+    v0v2 = faces_pts[:, :, 0] - v2
+    v1v2 = faces_pts[:, :, 1] - v2
+    basis = jnp.stack([v0v2, v1v2], axis=-1)  # (B, F, 2, 2)
+    samples = jnp.einsum(
+        "bfct,tk->bfck", basis, coords, precision=jax.lax.Precision.HIGHEST
+    ) + v2[..., None]
+    return jnp.clip(samples.transpose(0, 1, 3, 2), -1.0, 1.0)
+
+
+def batch_orth_proj_idrot(camera: jax.Array, pts: jax.Array) -> jax.Array:
+    """Weak-perspective projection (nmr.py:691-706): cam (B,3) = [s, tx, ty]."""
+    return camera[:, None, 0:1] * (pts[:, :, :2] + camera[:, None, 1:])
+
+
+def extract_tex(uv_img: jax.Array, uv_sampler: jax.Array, tex_size: int) -> jax.Array:
+    """Image -> per-face texture cubes (nmr.py:608-629 capability; the
+    reference's version references a stale self.nf — re-derived here).
+
+    uv_img: (B, 3, H, W); uv_sampler: (B, F, T*T, 2) -> (B, F, T, T, T, 3).
+    """
+    tex = grid_sample(uv_img, uv_sampler, align_corners=True)  # (B, 3, F, T*T)
+    b, _, nf, _ = tex.shape
+    t = tex_size
+    tex = tex.reshape(b, 3, nf, t, t).transpose(0, 2, 3, 4, 1)  # (B, F, T, T, 3)
+    return jnp.repeat(tex[:, :, :, :, None, :], t, axis=4)
+
+
+def dynamic_sampler(tables, cam_weak, vertices, obj_ids, tex_size: int = 3):
+    """Weak-perspective per-face UV sampler (nmr.py:631-637)."""
+    points = batch_orth_proj_idrot(cam_weak, vertices)
+    faces = jnp.take(tables["faces"], obj_ids, axis=0)
+    faces_pts = vertices_to_faces(
+        jnp.concatenate([points, jnp.zeros_like(points[..., :1])], axis=-1), faces
+    )[..., :2]
+    return points_to_sampler(create_coords(tex_size), faces_pts)
+
+
+def extract_tex_from_image(tables, images, cam_weak, vertices, obj_ids,
+                           tex_size: int = 3):
+    """(nmr.py:598-606 capability)."""
+    sampler = dynamic_sampler(tables, cam_weak, vertices, obj_ids, tex_size)
+    return extract_tex(images, sampler, tex_size)
+
+
+def render_rgb(
+    tables: dict,
+    cam: jax.Array,
+    verts: jax.Array,
+    textures: jax.Array,
+    obj_ids: jax.Array,
+    image_size: int = 256,
+    camera_model: str = "matrix",
+    anti_aliasing: bool = True,
+    background_color=(0.0, 0.0, 0.0),
+    light: dict | None = None,
+):
+    """Full RGB render (nmr.py:439-475): lighting -> project -> rasterize ->
+    trilinear texture sampling; 2x supersampling when anti_aliasing
+    (neural_renderer rasterize.py:257-358).
+
+    textures: (B, F, T, T, T, 3) matching the obj's merged face table.
+    Returns (B, 3, S, S) images.
+    """
+    from hoig_tpu.ops.grid_sample import avg_pool
+    from hoig_tpu.ops.texture import lighting as apply_lighting
+    from hoig_tpu.ops.texture import sample_textures_trilinear
+
+    proj_fn = (
+        orthographic_proj_withz_idrot
+        if camera_model == "matrix"
+        else orthographic_proj_withz_fxfy
+    )
+    faces = jnp.take(tables["faces"], obj_ids, axis=0)
+    valid = jnp.take(tables["face_valid"], obj_ids, axis=0)
+
+    light = light or {}
+    face_verts_world = vertices_to_faces(verts, faces)
+    textures = apply_lighting(face_verts_world, textures, **light)
+
+    proj = proj_fn(verts, cam, image_size=image_size)
+    view = to_view_space(proj)
+    face_verts = vertices_to_faces(view, faces)
+
+    s = image_size * 2 if anti_aliasing else image_size
+    fim, wim = rasterize_fim_wim(face_verts, valid, image_size=s, near=0.1, far=25.0)
+    rgb = sample_textures_trilinear(textures, fim, wim, background_color)
+    rgb = rgb.transpose(0, 3, 1, 2)
+    if anti_aliasing:
+        rgb = avg_pool(rgb, 2)
+    return rgb

@@ -253,8 +253,14 @@ class Generator(nn.Module):
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
             n_down=self.n_down, spade_layers=self.spade_layers,
         )
+        # remat: the block extractor expands features k^2=25x; without
+        # rematerialization autodiff stores those tensors for every one of
+        # the 9 attention layers and blows past HBM (the reference leans on
+        # 32GB GPUs instead). Recomputing them in the backward pass trades
+        # a second cheap gather for ~25x activation memory.
+        remat_attn = nn.remat(ExtractorAttn)
         self.attns = {
-            str(l): ExtractorAttn(kernel_size=5, name=f"attn_{l}")
+            str(l): remat_attn(kernel_size=5, name=f"attn_{l}")
             for l in self.attn_layers
         }
 

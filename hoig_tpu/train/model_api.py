@@ -258,6 +258,7 @@ def _dummy_batch(b, s, ccfg, env, tcfg):
             b, [rng.randn(v_obj, 3).astype(np.float32) * 0.05],
             seed=seed,
             camera="fxfy" if ccfg.camera_model == "fxfy" else "matrix",
+            image_size=s,
         ).items()
     }
     ta, tb = mk(1), mk(2)

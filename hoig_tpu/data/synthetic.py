@@ -18,45 +18,72 @@ from hoig_tpu.geometry.mano import MANOModel, NUM_VERTS
 from hoig_tpu.geometry.renderer import ObjectSpec, build_surface_tables
 
 
+def _grid_uv_rows(n_faces: int):
+    """Non-overlapping per-face UV triangles on a grid (a real chart: each
+    face owns its own texels, like an unwrapped MANO/YCB atlas)."""
+    cols = int(np.ceil(np.sqrt(n_faces)))
+    rows = int(np.ceil(n_faces / cols))
+    du, dv = 1.0 / cols, 1.0 / rows
+    out = []
+    m = 0.15  # margin inside each cell so rasterized faces don't touch
+    for i in range(n_faces):
+        r, c = divmod(i, cols)
+        u0, v0 = c * du, r * dv
+        out.append([
+            (u0 + m * du, v0 + m * dv),
+            (u0 + (1 - m) * du, v0 + m * dv),
+            (u0 + 0.5 * du, v0 + (1 - m) * dv),
+        ])
+    return out
+
+
 def write_synthetic_obj(path: str, n_verts: int = 40, seed: int = 0, z: float = 0.6):
-    """Random convex blob with UVs, YCB-like OBJ layout."""
+    """Random convex blob with a per-face grid UV chart, YCB-like layout."""
     rng = np.random.RandomState(seed)
     pts = rng.randn(n_verts, 3) * 0.05
     from scipy.spatial import ConvexHull
 
     hull = ConvexHull(pts)
-    uv = rng.rand(n_verts, 2)
+    faces = hull.simplices
+    uv_tris = _grid_uv_rows(len(faces))
     with open(path, "w") as f:
         for p in pts:
             f.write(f"v {p[0]} {p[1]} {p[2] + z}\n")
-        for u in uv:
-            f.write(f"vt {u[0]} {u[1]}\n")
-        for s in hull.simplices:
+        for tri in uv_tris:
+            for (u, v) in tri:
+                f.write(f"vt {u} {v}\n")
+        for i, s in enumerate(faces):
+            t = i * 3
             f.write(
-                f"f {s[0]+1}/{s[0]+1} {s[1]+1}/{s[1]+1} {s[2]+1}/{s[2]+1}\n"
+                f"f {s[0]+1}/{t+1} {s[1]+1}/{t+2} {s[2]+1}/{t+3}\n"
             )
     return pts
 
 
 def write_hand_uv_obj(path: str, model: MANOModel, seed: int = 7):
-    rng = np.random.RandomState(seed)
-    uv = rng.rand(NUM_VERTS, 2)
+    uv_tris = _grid_uv_rows(len(model.faces))
     with open(path, "w") as f:
         for v in model.v_template:
             f.write(f"v {v[0]} {v[1]} {v[2]}\n")
-        for u in uv:
-            f.write(f"vt {u[0]} {u[1]}\n")
-        for fc in model.faces:
+        for tri in uv_tris:
+            for (u, v) in tri:
+                f.write(f"vt {u} {v}\n")
+        for i, fc in enumerate(model.faces):
+            t = i * 3
             f.write(
-                f"f {fc[0]+1}/{fc[0]+1} {fc[1]+1}/{fc[1]+1} {fc[2]+1}/{fc[2]+1}\n"
+                f"f {fc[0]+1}/{t+1} {fc[1]+1}/{t+2} {fc[2]+1}/{t+3}\n"
             )
 
 
 def synthetic_semantics(seed: int = 11) -> dict:
+    """Partition all 1538 hand faces into the 6 parts (the real
+    semantics_hand.pkl covers every face)."""
     rng = np.random.RandomState(seed)
     keys = ["palm", "thumb", "index_finger", "middle_finger", "ring_finger",
             "little_finger"]
-    return {"right": {k: rng.randint(0, 1538, 250) for k in keys}}
+    perm = rng.permutation(1538)
+    chunks = np.array_split(perm, len(keys))
+    return {"right": {k: c for k, c in zip(keys, chunks)}}
 
 
 _CACHE = {}

@@ -36,6 +36,7 @@ from hoig_tpu.models.layers import (
     SPADEResidualBlock,
     UpConvINReLU,
     conv,
+    conv_init,
 )
 from hoig_tpu.ops.block_extractor import block_extractor_nhwc, local_attn_reshape_nhwc
 from hoig_tpu.ops.grid_sample import (
@@ -61,23 +62,90 @@ def _identity_grid_ij(h: int, dtype) -> jax.Array:
 
 
 class ExtractorAttn(nn.Module):
-    """Flow-guided local attention (extract_attn.py:8-37)."""
+    """Flow-guided local attention (extract_attn.py:8-37), fused.
+
+    The reference materializes k^2-expanded block tensors (B, k·h, k·w, C)
+    through two bespoke CUDA ops and a k-stride conv. TPU-native
+    reformulation with IDENTICAL parameters and math: the stride-k conv
+    over the expanded grid is algebraically a sum of k^2 per-offset
+    matmuls, so each offset's flow-shifted sample is produced, contracted
+    on the MXU, and discarded — peak memory drops from O(k^2·h·w·2C) to
+    O(h·w·C) and no expanded tensor ever exists. The final
+    `avg_pool(attn * block, k)` is the same sum: mean_t attn_t * S_t.
+
+    Numerics notes (reference quirks kept):
+      * flow is interpreted in pixel units (block_extractor_kernel.cu:58-68),
+      * zero-flow target blocks = clamped integer shifts of `target`,
+      * bilinear corners clamp to the border with unclamped weights.
+    """
 
     kernel_size: int = 5
+
+    @staticmethod
+    def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
+        """Border-clamped integer shift: out[i,j] = x[i+dy, j+dx]."""
+        h, w = x.shape[1], x.shape[2]
+        ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+        xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+        return x[:, ys][:, :, xs]
 
     @nn.compact
     def __call__(self, source: jax.Array, target: jax.Array, flow: jax.Array):
         k = self.kernel_size
-        block_source = block_extractor_nhwc(source, flow, k)
-        block_target = block_extractor_nhwc(target, jnp.zeros_like(flow), k)
-        x = jnp.concatenate([block_target, block_source], axis=-1)
-        x = conv(128, k, stride=k, pad=0, name="fc_0")(x)
-        x = nn.leaky_relu(x, negative_slope=0.01)
-        x = conv(k * k, 1, name="fc_1")(x)
-        attn = nn.softmax(x, axis=-1)
-        attn = local_attn_reshape_nhwc(attn, k)
-        weighted = attn * block_source
-        return nn.avg_pool(weighted, (k, k), strides=(k, k))
+        r = k // 2
+        b, h, w, c = source.shape
+        dn = jnp.float32
+
+        w0 = self.param("fc_0_kernel", conv_init, (k, k, 2 * c, 128))
+        b0 = self.param("fc_0_bias", nn.initializers.zeros, (128,))
+        w1 = self.param("fc_1_kernel", conv_init, (1, 1, 128, k * k))
+        b1 = self.param("fc_1_bias", nn.initializers.zeros, (k * k,))
+
+        # shared bilinear footprint of the flow (pixel units, quirk kept)
+        xf = jax.lax.broadcasted_iota(dn, (h, w), 1)
+        yf = jax.lax.broadcasted_iota(dn, (h, w), 0)
+        fx = flow[..., 0] + xf
+        fy = flow[..., 1] + yf
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        tx = (fx - x0)[..., None]
+        ty = (fy - y0)[..., None]
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        src_flat = source.reshape(b, h * w, c)
+
+        def sample_source(dy: int, dx: int) -> jax.Array:
+            """Bilinear flow-offset sample at block offset (dy, dx)."""
+            out = None
+            for cy, wy in ((0, 1.0 - ty), (1, ty)):
+                yc = jnp.clip(y0 + (dy + cy), 0, h - 1)
+                for cx, wx in ((0, 1.0 - tx), (1, tx)):
+                    xc = jnp.clip(x0 + (dx + cx), 0, w - 1)
+                    idx = (yc * w + xc).reshape(b, h * w, 1)
+                    vals = jnp.take_along_axis(src_flat, idx, axis=1)
+                    contrib = vals.reshape(b, h, w, c) * (wy * wx)
+                    out = contrib if out is None else out + contrib
+            return out
+
+        # fc_0 as per-offset matmul accumulation (no k^2 expansion)
+        acc = jnp.broadcast_to(b0, (b, h, w, 128))
+        for oy in range(k):
+            for ox in range(k):
+                s_t = sample_source(oy - r, ox - r)
+                y_t = self._shift(target, oy - r, ox - r)
+                acc = acc + jnp.einsum("bhwc,cf->bhwf", y_t, w0[oy, ox, :c])
+                acc = acc + jnp.einsum("bhwc,cf->bhwf", s_t, w0[oy, ox, c:])
+        hdn = nn.leaky_relu(acc, negative_slope=0.01)
+        logits = jnp.einsum("bhwf,fk->bhwk", hdn, w1[0, 0]) + b1
+        attn = nn.softmax(logits, axis=-1)  # (B, h, w, k*k)
+
+        # mean_t attn_t * S_t  ==  avg_pool(attn * block_source, k)
+        out = jnp.zeros_like(source)
+        for oy in range(k):
+            for ox in range(k):
+                s_t = sample_source(oy - r, ox - r)
+                out = out + attn[..., oy * k + ox : oy * k + ox + 1] * s_t
+        return out / (k * k)
 
 
 class ResNetGenerator(nn.Module):

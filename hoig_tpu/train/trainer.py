@@ -187,6 +187,10 @@ def make_train_step(
         outs = g_model.apply(params_g, **kwargs)
         return composite(outs)
 
+    vgg_loss_ckpt = jax.checkpoint(
+        lambda x, y: vgg_perceptual_loss(vgg_model, vgg_params, x, y)
+    )
+
     def g_loss_fn(params_g, params_d, flow, batch):
         fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = forward_g(
             params_g, flow, batch
@@ -201,10 +205,7 @@ def make_train_step(
         loss_adv = lsgan_loss(d_fake, 0.0) * tcfg.lambda_D_prob
         loss_rec = l1_loss(fake_src, real_src) * tcfg.lambda_rec
         if tcfg.use_vgg:
-            loss_tsf = (
-                vgg_perceptual_loss(vgg_model, vgg_params, fake_tsf, real_tsf)
-                * tcfg.lambda_tsf
-            )
+            loss_tsf = vgg_loss_ckpt(fake_tsf, real_tsf) * tcfg.lambda_tsf
         else:
             loss_tsf = l1_loss(fake_tsf, real_tsf) * tcfg.lambda_tsf
 

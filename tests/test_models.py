@@ -176,3 +176,43 @@ def test_vgg_torch_weight_port(rng):
         np.testing.assert_allclose(
             np.asarray(a), b.transpose(0, 2, 3, 1), rtol=2e-3, atol=2e-4
         )
+
+
+def test_extractor_attn_fused_equals_block_formulation(rng):
+    """The fused per-offset attention must match the reference's
+    block-expansion formulation exactly (same params, same math)."""
+    from hoig_tpu.ops.block_extractor import (
+        block_extractor_nhwc,
+        local_attn_reshape_nhwc,
+    )
+    import flax.linen as fnn
+    import jax.numpy as jnp
+
+    B, H, W, C, K = 2, 8, 8, 6, 5
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    y = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    f = jnp.asarray((rng.randn(B, H, W, 2) * 1.3).astype(np.float32))
+    m = ExtractorAttn(kernel_size=K)
+    params = m.init(jax.random.PRNGKey(1), x, y, f)
+    with jax.default_matmul_precision("highest"):
+        fused = np.asarray(m.apply(params, x, y, f))
+
+    p = params["params"]
+    w0, b0 = jnp.asarray(p["fc_0_kernel"]), jnp.asarray(p["fc_0_bias"])
+    w1, b1 = jnp.asarray(p["fc_1_kernel"]), jnp.asarray(p["fc_1_bias"])
+    bs = block_extractor_nhwc(x, f, K)
+    bt = block_extractor_nhwc(y, jnp.zeros_like(f), K)
+    cat = jnp.concatenate([bt, bs], axis=-1)
+    with jax.default_matmul_precision("highest"):
+        conv_out = jax.lax.conv_general_dilated(
+            cat, w0, (K, K), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b0
+        h = fnn.leaky_relu(conv_out, negative_slope=0.01)
+        logits = jax.lax.conv_general_dilated(
+            h, w1, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b1
+    attn = fnn.softmax(logits, axis=-1)
+    ref = np.asarray(
+        fnn.avg_pool(local_attn_reshape_nhwc(attn, K) * bs, (K, K), strides=(K, K))
+    )
+    np.testing.assert_allclose(fused, ref, rtol=1e-3, atol=1e-5)

@@ -126,3 +126,18 @@ def vertices_to_faces(vertices: jax.Array, faces: jax.Array) -> jax.Array:
     safe = jnp.clip(faces, 0, vertices.shape[1] - 1).reshape(b, f * 3, 1)
     gathered = jnp.take_along_axis(vertices, safe, axis=1)
     return gathered.reshape(b, f, 3, 3)
+
+
+def proj_func(points: jax.Array, transl: jax.Array, rot: jax.Array,
+              center: jax.Array, focal: float = 5000.0) -> jax.Array:
+    """Fixed-focal perspective projection helper (reference
+    models/networks/hmr.py:13-42 `proj_func`): rotate+translate, pinhole
+    project with a diagonal 5000-focal camera, shift by `center`, and
+    normalize /255*2-1.
+
+    points: (B, N, 3); transl: (B, 3); rot: (B, 3, 3); center: (B, 2).
+    """
+    cam = jnp.einsum("bij,bnj->bni", rot, points, precision=_HI) + transl[:, None]
+    xy = cam[..., :2] / cam[..., 2:3]
+    img = xy * focal + center[:, None, :]
+    return img / 255.0 * 2.0 - 1.0

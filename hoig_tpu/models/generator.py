@@ -148,6 +148,17 @@ class ExtractorAttn(nn.Module):
         return out / (k * k)
 
 
+# Activation rematerialization: a 16GB-HBM chip cannot hold the training
+# activations of all four 512-wide sub-networks at batch 4 / 256px, so the
+# conv blocks recompute their forward during the backward pass (the
+# reference assumes 32GB GPUs instead).
+RematResidualBlock = nn.remat(ResidualBlock)
+RematSPADEResidualBlock = nn.remat(SPADEResidualBlock)
+RematConvINReLU = nn.remat(ConvINReLU)
+RematUpConvINReLU = nn.remat(UpConvINReLU)
+RematSPADEBlock = nn.remat(SPADEBlock)
+
+
 class ResNetGenerator(nn.Module):
     """Background branch (generator.py:93-135)."""
 
@@ -158,15 +169,15 @@ class ResNetGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = ConvINReLU(self.conv_dim, 7, 1, 3)(x)
+        x = RematConvINReLU(self.conv_dim, 7, 1, 3)(x)
         dim = self.conv_dim
         for _ in range(self.n_down):
-            x = ConvINReLU(dim * 2, self.k_size, 2, 1)(x)
+            x = RematConvINReLU(dim * 2, self.k_size, 2, 1)(x)
             dim *= 2
         for _ in range(self.repeat_num):
-            x = ResidualBlock(dim)(x)
+            x = RematResidualBlock(dim)(x)
         for _ in range(self.n_down):
-            x = UpConvINReLU(dim // 2, self.k_size)(x)
+            x = RematUpConvINReLU(dim // 2, self.k_size)(x)
             dim //= 2
         x = conv(3, 7, 1, 3, use_bias=False)(x)
         return jnp.tanh(x)
@@ -189,12 +200,12 @@ class ResUnetGenerator(nn.Module):
 
     def setup(self):
         dim = self.conv_dim
-        enc = [ConvINReLU(dim, 7, 1, 3)]
+        enc = [RematConvINReLU(dim, 7, 1, 3)]
         for _ in range(self.n_down):
             if self.spade_layers[0]:
-                enc.append(SPADEBlock(dim * 2, self.k_size, downsample=True))
+                enc.append(RematSPADEBlock(dim * 2, self.k_size, downsample=True))
             else:
-                enc.append(ConvINReLU(dim * 2, self.k_size, 2, 1))
+                enc.append(RematConvINReLU(dim * 2, self.k_size, 2, 1))
             dim *= 2
         self.encoders = enc
 
@@ -205,16 +216,18 @@ class ResUnetGenerator(nn.Module):
                 if i < self.repeat_num // 2
                 else self.spade_layers[2]
             )
-            res.append(SPADEResidualBlock(dim) if use_spade else ResidualBlock(dim))
+            res.append(
+                RematSPADEResidualBlock(dim) if use_spade else RematResidualBlock(dim)
+            )
         self.resnets = res
 
         decs, skips = [], []
         for _ in range(self.n_down):
             if self.spade_layers[3]:
-                decs.append(SPADEBlock(dim // 2, self.k_size, downsample=False))
+                decs.append(RematSPADEBlock(dim // 2, self.k_size, downsample=False))
             else:
-                decs.append(UpConvINReLU(dim // 2, self.k_size))
-            skips.append(ConvINReLU(dim // 2, self.k_size, 1, 1))
+                decs.append(RematUpConvINReLU(dim // 2, self.k_size))
+            skips.append(RematConvINReLU(dim // 2, self.k_size, 1, 1))
             dim //= 2
         self.decoders = decs
         self.skippers = skips

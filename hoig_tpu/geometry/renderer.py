@@ -349,6 +349,12 @@ def _occlusion_from_fim(
 
     A destination pixel is occluded if none of the 9 source pixels around
     its warped location carry the same face index.
+
+    TPU note: instead of 9 scalar-row gathers (clamped offsets,
+    exist_T_00..22 in the reference), the 9 edge-replicated shifts of
+    src_fim are stacked channel-minor once (cheap pad/slice) and fetched
+    with ONE wide-row gather — row gathers amortize much better on TPU
+    than nine 1-element gathers.
     """
     b, h, w = dst_fim.shape
     s = src_fim.shape[-1]
@@ -359,16 +365,17 @@ def _occlusion_from_fim(
     px = px.astype(jnp.int32)
     py = py.astype(jnp.int32)
 
-    src_flat = src_fim.reshape(b, -1)
-    visible = jnp.zeros((b, h, w), bool)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            qx = jnp.clip(px + dx, 0, s - 1)
-            qy = jnp.clip(py + dy, 0, s - 1)
-            neighbor = jnp.take_along_axis(
-                src_flat, (qy * s + qx).reshape(b, -1), axis=1
-            ).reshape(b, h, w)
-            visible = visible | (neighbor == dst_fim)
+    # (B, s, s, 9): edge-replicated 3x3 shifts == clamped-offset lookups
+    pad = jnp.pad(src_fim, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    shifts = [
+        pad[:, 1 + dy : 1 + dy + s, 1 + dx : 1 + dx + s]
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+    ]
+    window = jnp.stack(shifts, axis=-1).reshape(b, s * s, 9)
+    idx = (py * s + px).reshape(b, -1, 1)
+    neighbors = jnp.take_along_axis(window, idx, axis=1).reshape(b, h, w, 9)
+    visible = jnp.any(neighbors == dst_fim[..., None], axis=-1)
     return (exist & ~visible).astype(jnp.float32)[..., None]
 
 

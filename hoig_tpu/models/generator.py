@@ -151,12 +151,30 @@ class ExtractorAttn(nn.Module):
 # Activation rematerialization: a 16GB-HBM chip cannot hold the training
 # activations of all four 512-wide sub-networks at batch 4 / 256px, so the
 # conv blocks recompute their forward during the backward pass (the
-# reference assumes 32GB GPUs instead).
-RematResidualBlock = nn.remat(ResidualBlock)
-RematSPADEResidualBlock = nn.remat(SPADEResidualBlock)
-RematConvINReLU = nn.remat(ConvINReLU)
-RematUpConvINReLU = nn.remat(UpConvINReLU)
-RematSPADEBlock = nn.remat(SPADEBlock)
+# reference assumes 32GB GPUs instead). Toggleable: small-model tests on
+# CPU skip it (remat slows compiles considerably).
+_REMAT_CACHE = {}
+
+
+def _blocks(remat: bool):
+    if remat not in _REMAT_CACHE:
+        if remat:
+            _REMAT_CACHE[remat] = {
+                "res": nn.remat(ResidualBlock),
+                "spade_res": nn.remat(SPADEResidualBlock),
+                "conv": nn.remat(ConvINReLU),
+                "upconv": nn.remat(UpConvINReLU),
+                "spade_blk": nn.remat(SPADEBlock),
+            }
+        else:
+            _REMAT_CACHE[remat] = {
+                "res": ResidualBlock,
+                "spade_res": SPADEResidualBlock,
+                "conv": ConvINReLU,
+                "upconv": UpConvINReLU,
+                "spade_blk": SPADEBlock,
+            }
+    return _REMAT_CACHE[remat]
 
 
 class ResNetGenerator(nn.Module):
@@ -166,18 +184,20 @@ class ResNetGenerator(nn.Module):
     repeat_num: int = 6
     k_size: int = 3
     n_down: int = 3
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = RematConvINReLU(self.conv_dim, 7, 1, 3)(x)
+        blk = _blocks(self.remat)
+        x = blk["conv"](self.conv_dim, 7, 1, 3)(x)
         dim = self.conv_dim
         for _ in range(self.n_down):
-            x = RematConvINReLU(dim * 2, self.k_size, 2, 1)(x)
+            x = blk["conv"](dim * 2, self.k_size, 2, 1)(x)
             dim *= 2
         for _ in range(self.repeat_num):
-            x = RematResidualBlock(dim)(x)
+            x = blk["res"](dim)(x)
         for _ in range(self.n_down):
-            x = RematUpConvINReLU(dim // 2, self.k_size)(x)
+            x = blk["upconv"](dim // 2, self.k_size)(x)
             dim //= 2
         x = conv(3, 7, 1, 3, use_bias=False)(x)
         return jnp.tanh(x)
@@ -197,15 +217,17 @@ class ResUnetGenerator(nn.Module):
     n_down: int = 3
     spade_layers: Sequence[int] = (0, 0, 0, 0)
     on_obj: bool = False
+    remat: bool = True
 
     def setup(self):
+        blk = _blocks(self.remat)
         dim = self.conv_dim
-        enc = [RematConvINReLU(dim, 7, 1, 3)]
+        enc = [blk["conv"](dim, 7, 1, 3)]
         for _ in range(self.n_down):
             if self.spade_layers[0]:
-                enc.append(RematSPADEBlock(dim * 2, self.k_size, downsample=True))
+                enc.append(blk["spade_blk"](dim * 2, self.k_size, downsample=True))
             else:
-                enc.append(RematConvINReLU(dim * 2, self.k_size, 2, 1))
+                enc.append(blk["conv"](dim * 2, self.k_size, 2, 1))
             dim *= 2
         self.encoders = enc
 
@@ -217,17 +239,17 @@ class ResUnetGenerator(nn.Module):
                 else self.spade_layers[2]
             )
             res.append(
-                RematSPADEResidualBlock(dim) if use_spade else RematResidualBlock(dim)
+                blk["spade_res"](dim) if use_spade else blk["res"](dim)
             )
         self.resnets = res
 
         decs, skips = [], []
         for _ in range(self.n_down):
             if self.spade_layers[3]:
-                decs.append(RematSPADEBlock(dim // 2, self.k_size, downsample=False))
+                decs.append(blk["spade_blk"](dim // 2, self.k_size, downsample=False))
             else:
-                decs.append(RematUpConvINReLU(dim // 2, self.k_size))
-            skips.append(RematConvINReLU(dim // 2, self.k_size, 1, 1))
+                decs.append(blk["upconv"](dim // 2, self.k_size))
+            skips.append(blk["conv"](dim // 2, self.k_size, 1, 1))
             dim //= 2
         self.decoders = decs
         self.skippers = skips
@@ -316,32 +338,31 @@ class Generator(nn.Module):
     spade_layers: Sequence[int] = (0, 0, 0, 0)
     attn_layers: Sequence[int] = ()
     n_down: int = 3
+    remat: bool = True
 
     def setup(self):
         self.bg_model = ResNetGenerator(
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
-            n_down=self.n_down,
+            n_down=self.n_down, remat=self.remat,
         )
         self.obj_model = ResUnetGenerator(
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
             n_down=self.n_down, spade_layers=self.spade_layers, on_obj=True,
+            remat=self.remat,
         )
         self.src_model = ResUnetGenerator(
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
             n_down=self.n_down, spade_layers=self.spade_layers,
+            remat=self.remat,
         )
         self.tsf_model = ResUnetGenerator(
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
             n_down=self.n_down, spade_layers=self.spade_layers,
+            remat=self.remat,
         )
-        # remat: the block extractor expands features k^2=25x; without
-        # rematerialization autodiff stores those tensors for every one of
-        # the 9 attention layers and blows past HBM (the reference leans on
-        # 32GB GPUs instead). Recomputing them in the backward pass trades
-        # a second cheap gather for ~25x activation memory.
-        remat_attn = nn.remat(ExtractorAttn)
+        attn_cls = nn.remat(ExtractorAttn) if self.remat else ExtractorAttn
         self.attns = {
-            str(l): remat_attn(kernel_size=5, name=f"attn_{l}")
+            str(l): attn_cls(kernel_size=5, name=f"attn_{l}")
             for l in self.attn_layers
         }
 

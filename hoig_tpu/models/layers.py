@@ -19,6 +19,20 @@ import jax.numpy as jnp
 
 conv_init = nn.initializers.normal(stddev=0.02)
 
+# Process-wide computation dtype for the conv stacks (params stay float32).
+# bfloat16 halves HBM traffic for the bandwidth-bound 256px conv layers;
+# normalization statistics are always taken in float32. Set BEFORE building
+# (tracing) the networks via set_compute_dtype — reads happen at trace time.
+_COMPUTE_DTYPE = [None]
+
+
+def set_compute_dtype(dtype) -> None:
+    _COMPUTE_DTYPE[0] = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE[0]
+
 
 class InstanceNorm(nn.Module):
     """torch InstanceNorm2d on NHWC: per-sample, per-channel over H,W.
@@ -33,15 +47,17 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        in_dtype = x.dtype
+        x32 = x.astype(jnp.float32)  # stats always in f32
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.var(x32, axis=(1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
             c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))
             y = y * scale + bias
-        return y
+        return y.astype(compute_dtype() or in_dtype)
 
 
 def conv(
@@ -60,6 +76,7 @@ def conv(
         padding=((pad, pad), (pad, pad)),
         use_bias=use_bias,
         kernel_init=conv_init,
+        dtype=compute_dtype(),
         name=name,
     )
 
@@ -75,6 +92,7 @@ def conv_transpose(
         padding="SAME",
         use_bias=use_bias,
         kernel_init=conv_init,
+        dtype=compute_dtype(),
         name=name,
     )
 

@@ -1,7 +1,7 @@
 """Differentiable-rendering rasterization ops, TPU-native.
 
 Produces the face-index map (fim) and barycentric-weight map (wim) that the
-HOGAN conditioning stage is built on. Capability parity with the reference's
+HOIG conditioning stage is built on. Capability parity with the reference's
 neural_renderer CUDA rasterizer
 (HOIG_HOv3/thirdparty/neural_renderer/neural_renderer/cuda/
 rasterize_cuda_kernel.cu:40-186 and rasterize.py:257-360):
@@ -20,15 +20,26 @@ rasterize_cuda_kernel.cu:40-186 and rasterize.py:257-360):
 
 This is NOT a port of the CUDA per-pixel-over-all-faces loop. The TPU
 formulation is dense and batched: faces are processed in fixed-size chunks
-with a running (depth, index, weights) reduction, so everything is static
-shaped, vectorizes onto the VPU, and jit/vmap/shard_map compose. Padded
-(invalid) faces are handled with an explicit validity mask instead of the
-reference's per-object `getattr` dispatch.
+with a running (inverse-depth, index) reduction, so everything is static
+shaped and vectorizes onto the VPU. The inner loop is reduced to plane
+evaluations — per (pixel, face) it evaluates 3 precomputed edge-line
+coefficients and one inverse-depth plane (2 FMA each) and folds a max/min
+pair; barycentric weights and perspective-correct depth are computed ONCE
+for the winning face after the reduction.
+
+Known deviation from the CUDA kernel: the z-ordering compares the
+*unclamped* perspective inverse-depth plane (the CUDA kernel clamps
+barycentric weights to [0,1] before forming the depth). The two orderings
+differ only for pixels whose center passes the edge test while a weight
+falls outside [0,1] (boundary pixels), where depth differences are
+sub-resolution; output weights/depths are still computed with the exact
+clamp-renormalize semantics. Padded (invalid) faces are handled with an
+explicit validity mask instead of the reference's per-object `getattr`
+dispatch.
 
 HOGAN only consumes the *forward* maps — the whole conditioning stage runs
 under no-grad (reference models/trainer.py:326) — so no custom VJP is
-defined here; `rasterize_silhouette` is made differentiable-enough via the
-soft-coverage path below when needed.
+defined here.
 """
 
 from __future__ import annotations
@@ -42,35 +53,44 @@ _BIG = jnp.float32(1e10)
 
 
 def _face_setup(face_verts: jax.Array, face_valid: jax.Array | None, image_size: int):
-    """Per-face precomputation shared by all rasterization entry points.
+    """Per-face plane precomputation shared by all entry points.
 
-    Args:
-      face_verts: (F, 3, 3) float32.
-      face_valid: (F,) bool or None.
-      image_size: S.
-
-    Returns:
-      dict of per-face tensors (float32) + keep mask.
+    Returns dict with:
+      edge: (F, 3, 3) edge-line coefficients in NDC — pixel (xp, yp) is
+        inside iff edge @ (xp, yp, 1) >= 0 for all 3 rows,
+      izp:  (F, 3) inverse-depth plane in integer pixel coords,
+      finv: (F, 3, 3) inverse barycentric matrix (pixel coords),
+      z:    (F, 3) per-corner view depths,
+      keep: (F,) validity & front-facing mask.
     """
     fv = face_verts.astype(jnp.float32)
     x = fv[:, :, 0]  # (F, 3)
     y = fv[:, :, 1]
     z = fv[:, :, 2]
 
-    # Back-face cull in NDC (rasterize_cuda_kernel.cu:58-59,128-129):
-    # keep iff (y2-y0)*(x1-x0) >= (y1-y0)*(x2-x0).
+    # Back-face cull in NDC (rasterize_cuda_kernel.cu:58-59,128-129).
     front = (y[:, 2] - y[:, 0]) * (x[:, 1] - x[:, 0]) >= (y[:, 1] - y[:, 0]) * (
         x[:, 2] - x[:, 0]
     )
     keep = front if face_valid is None else front & face_valid
+
+    # Edge-line coefficients: (yp-ya)(xb-xa) - (xp-xa)(yb-ya) >= 0
+    #   == -(yb-ya)*xp + (xb-xa)*yp + (xa*yb - ya*xb) >= 0.
+    def edge(a, b):
+        return jnp.stack(
+            [-(y[:, b] - y[:, a]), x[:, b] - x[:, a],
+             x[:, a] * y[:, b] - y[:, a] * x[:, b]],
+            axis=-1,
+        )
+
+    edges = jnp.stack([edge(0, 1), edge(1, 2), edge(2, 0)], axis=1)  # (F,3,3)
 
     # Pixel-space coords p = 0.5*(v*S + S - 1)  (kernel_1, :62-66).
     s = jnp.float32(image_size)
     px = 0.5 * (x * s + s - 1.0)
     py = 0.5 * (y * s + s - 1.0)
 
-    # Inverse barycentric matrix rows (kernel_1, :69-83), denominator is
-    # twice the signed area in pixel space.
+    # Inverse barycentric matrix rows (kernel_1, :69-83).
     denom = (
         px[:, 2] * (py[:, 0] - py[:, 1])
         + px[:, 0] * (py[:, 1] - py[:, 2])
@@ -80,13 +100,19 @@ def _face_setup(face_verts: jax.Array, face_valid: jax.Array | None, image_size:
 
     def row(a, b):
         return jnp.stack(
-            [py[:, a] - py[:, b], px[:, b] - px[:, a], px[:, a] * py[:, b] - px[:, b] * py[:, a]],
+            [py[:, a] - py[:, b], px[:, b] - px[:, a],
+             px[:, a] * py[:, b] - px[:, b] * py[:, a]],
             axis=-1,
         )
 
     finv = jnp.stack([row(1, 2), row(2, 0), row(0, 1)], axis=1) / denom[:, None, None]
 
-    return dict(x=x, y=y, z=z, finv=finv, keep=keep)
+    # Inverse-depth plane: 1/zp(xi, yi) = sum_k finv[k] * (1/z_k) evaluated
+    # at integer pixel coords — linear in (xi, yi, 1).
+    safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    izp = jnp.einsum("fkc,fk->fc", finv, 1.0 / safe_z)
+
+    return dict(edge=edges, izp=izp, finv=finv, z=z, keep=keep)
 
 
 def _pixel_grids(image_size: int):
@@ -113,81 +139,84 @@ def _rasterize_single(
     f_pad = n_chunks * chunk
 
     setup = _face_setup(face_verts, face_valid, image_size)
-    keep = setup["keep"]
+    keep = setup.pop("keep")
     if f_pad != f:
         padf = lambda a: jnp.pad(a, [(0, f_pad - f)] + [(0, 0)] * (a.ndim - 1))
-        setup = {k: padf(v) for k, v in setup.items() if k != "keep"}
+        setup = {k: padf(v) for k, v in setup.items()}
         keep = jnp.pad(keep, (0, f_pad - f))
-    else:
-        setup = {k: v for k, v in setup.items() if k != "keep"}
 
     xi, yi, xp, yp = _pixel_grids(image_size)
     n_pix = image_size * image_size
 
-    def reshape_chunks(a):
+    def rc(a):
         return a.reshape((n_chunks, chunk) + a.shape[1:])
 
-    cx = reshape_chunks(setup["x"])
-    cy = reshape_chunks(setup["y"])
-    cz = reshape_chunks(setup["z"])
-    cfinv = reshape_chunks(setup["finv"])
-    ckeep = reshape_chunks(keep)
+    c_edge = rc(setup["edge"])
+    c_izp = rc(setup["izp"])
+    c_keep = rc(keep)
+    iz_lo = jnp.float32(1.0 / far)
+    iz_hi = jnp.float32(1.0 / near)
 
     def body(carry, inputs):
-        best_z, best_idx, best_w = carry
-        fx, fy, fz, finv, k, base = inputs  # fx: (chunk, 3) ...
+        best_iz, best_idx = carry
+        edge, izc, k, base = inputs  # edge (chunk,3,3), izc (chunk,3)
 
-        # Edge inside tests in NDC (kernel_2, :132-135): pixel is inside iff
-        # (yp - ya)*(xb - xa) >= (xp - xa)*(yb - ya) for the 3 edges.
-        def edge(a, b):
-            return (yp[:, None] - fy[None, :, a]) * (fx[None, :, b] - fx[None, :, a]) >= (
-                xp[:, None] - fx[None, :, a]
-            ) * (fy[None, :, b] - fy[None, :, a])
+        # inside tests: 3 plane evaluations over (P, chunk)
+        e = (
+            (xp[:, None, None] * edge[None, :, :, 0]
+             + yp[:, None, None] * edge[None, :, :, 1]
+             + edge[None, :, :, 2]) >= 0
+        )  # (P, chunk, 3) — broadcasting over the 3 edges
+        inside = e[:, :, 0] & e[:, :, 1] & e[:, :, 2]
 
-        inside = edge(0, 1) & edge(1, 2) & edge(2, 0)  # (P, chunk)
+        iz = (
+            xi[:, None] * izc[None, :, 0]
+            + yi[:, None] * izc[None, :, 1]
+            + izc[None, :, 2]
+        )  # (P, chunk); larger = nearer
+        ok = inside & k[None, :] & (iz > iz_lo) & (iz < iz_hi)
+        iz = jnp.where(ok, iz, -_BIG)
 
-        # Barycentric weights at integer pixel coords (kernel_2, :138-151).
-        w = (
-            finv[None, :, :, 0] * xi[:, None, None]
-            + finv[None, :, :, 1] * yi[:, None, None]
-            + finv[None, :, :, 2]
-        )  # (P, chunk, 3)
-        w = jnp.clip(w, 0.0, 1.0)
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        # nearest face in this chunk without argmin/gather
+        chunk_best = jnp.max(iz, axis=1)  # (P,)
+        idxs = base + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        cand = jnp.where(iz >= chunk_best[:, None], idxs, jnp.int32(2**30))
+        chunk_arg = jnp.min(cand, axis=1)  # lowest index on ties
 
-        zp = 1.0 / jnp.sum(w / fz[None, :, :], axis=-1)  # (P, chunk)
-        ok = inside & k[None, :] & (zp > near) & (zp < far)
-        zp = jnp.where(ok, zp, _BIG)
-
-        # Nearest face in this chunk (ties -> first = lowest index).
-        j = jnp.argmin(zp, axis=1)  # (P,)
-        pix = jnp.arange(n_pix)
-        z_new = zp[pix, j]
-        w_new = w[pix, j]
-        idx_new = base + j.astype(jnp.int32)
-
-        # Strict < replicates the CUDA ascending-order tie-break across chunks.
-        better = z_new < best_z
-        best_z = jnp.where(better, z_new, best_z)
-        best_idx = jnp.where(better, idx_new, best_idx)
-        best_w = jnp.where(better[:, None], w_new, best_w)
-        return (best_z, best_idx, best_w), None
+        # strict > replicates the CUDA ascending-order tie-break across chunks
+        better = chunk_best > best_iz
+        best_iz = jnp.where(better, chunk_best, best_iz)
+        best_idx = jnp.where(better & (chunk_best > -_BIG), chunk_arg, best_idx)
+        return (best_iz, best_idx), None
 
     init = (
-        jnp.full((n_pix,), jnp.float32(far), dtype=jnp.float32),
+        jnp.full((n_pix,), -_BIG, dtype=jnp.float32),
         jnp.full((n_pix,), -1, dtype=jnp.int32),
-        jnp.zeros((n_pix, 3), dtype=jnp.float32),
     )
     bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
-    (best_z, best_idx, best_w), _ = jax.lax.scan(
-        body, init, (cx, cy, cz, cfinv, ckeep, bases)
+    (best_iz, best_idx), _ = jax.lax.scan(
+        body, init, (c_edge, c_izp, c_keep, bases)
     )
 
     hit = best_idx >= 0
-    depth = jnp.where(hit, best_z, jnp.float32(far))
-    fim = best_idx.reshape(image_size, image_size)
-    wim = best_w.reshape(image_size, image_size, 3)
-    dim = depth.reshape(image_size, image_size)
+    # winner-only barycentric weights + exact clamped perspective depth
+    safe_idx = jnp.clip(best_idx, 0)
+    finv_w = setup["finv"][safe_idx]  # (P, 3, 3)
+    z_w = setup["z"][safe_idx]  # (P, 3)
+    w = (
+        finv_w[:, :, 0] * xi[:, None]
+        + finv_w[:, :, 1] * yi[:, None]
+        + finv_w[:, :, 2]
+    )
+    w = jnp.clip(w, 0.0, 1.0)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    zp = 1.0 / jnp.maximum(
+        jnp.sum(w / jnp.where(jnp.abs(z_w) < 1e-12, 1e-12, z_w), axis=-1), 1e-12
+    )
+
+    fim = jnp.where(hit, best_idx, -1).reshape(image_size, image_size)
+    wim = jnp.where(hit[:, None], w, 0.0).reshape(image_size, image_size, 3)
+    dim = jnp.where(hit, zp, jnp.float32(far)).reshape(image_size, image_size)
 
     # Vertical flip = reference rasterize.py:338-349 post-processing.
     return fim[::-1], wim[::-1], dim[::-1]
@@ -200,7 +229,7 @@ def rasterize_fim_wim(
     image_size: int = 256,
     near: float = 0.1,
     far: float = 100.0,
-    chunk: int = 64,
+    chunk: int = 128,
 ):
     """Batched face-index + barycentric-weight map rasterization.
 
@@ -233,7 +262,7 @@ def rasterize_depth(
     image_size: int = 256,
     near: float = 0.1,
     far: float = 100.0,
-    chunk: int = 64,
+    chunk: int = 128,
 ):
     """Depth-map rasterization (reference nr.rasterize_depth capability)."""
     fn = functools.partial(
@@ -253,7 +282,7 @@ def rasterize_silhouette(
     image_size: int = 256,
     near: float = 0.1,
     far: float = 100.0,
-    chunk: int = 64,
+    chunk: int = 128,
 ):
     """Binary coverage mask (reference nr.rasterize_silhouettes capability)."""
     fim, _ = rasterize_fim_wim(

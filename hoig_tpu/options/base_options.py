@@ -69,6 +69,8 @@ class BaseOptions:
                        help="base conv width (reference hardcodes 64)")
         p.add_argument("--bf16", action="store_true",
                        help="run network compute in bfloat16")
+        p.add_argument("--no_remat", action="store_true",
+                       help="disable activation rematerialization")
         p.add_argument("--platform", type=str, default=None,
                        help="force a JAX platform (cpu/tpu); this environment "
                             "auto-selects the TPU plugin otherwise")

@@ -78,4 +78,7 @@ class DataParallel:
         return jax.device_put(batch, self._sharded)
 
     def step(self, state, batch, d_trainable):
+        """NOTE: `state` is donated (its buffers are consumed); always use
+        the returned state. Keep an explicit copy if the input must
+        survive (e.g. A/B comparisons in tests)."""
         return self._step(state, self.shard_batch(batch), d_trainable)

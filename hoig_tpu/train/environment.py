@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+import jax.numpy as jnp
+
 from hoig_tpu.geometry.conditioning import ConditioningConfig
 from hoig_tpu.geometry.mano import MANOModel
 from hoig_tpu.geometry.renderer import ObjectSpec, build_surface_tables
@@ -116,6 +118,7 @@ def train_config_from_opt(opt) -> TrainConfig:
         use_spade=getattr(opt, "use_spade", True),
         repeat_num=opt.repeat_num,
         conv_dim=getattr(opt, "conv_dim", 64),
+        remat=not getattr(opt, "no_remat", False),
         image_size=opt.image_size,
         d_norm_type=opt.norm_type,
         lr_G=getattr(opt, "lr_G", 2e-4),
@@ -132,5 +135,6 @@ def train_config_from_opt(opt) -> TrainConfig:
         use_vgg=getattr(opt, "use_vgg", False),
         mask_bce=getattr(opt, "mask_bce", False),
         train_G_every_n_iterations=getattr(opt, "train_G_every_n_iterations", 1),
+        compute_dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
         **dims,
     )

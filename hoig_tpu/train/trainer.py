@@ -72,6 +72,7 @@ class TrainConfig:
     use_vgg: bool = True
     mask_bce: bool = True
     train_G_every_n_iterations: int = 1
+    remat: bool = True
     compute_dtype: Any = jnp.float32
 
 
@@ -86,6 +87,11 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def build_networks(cfg: TrainConfig):
+    from hoig_tpu.models.layers import set_compute_dtype
+
+    set_compute_dtype(
+        cfg.compute_dtype if cfg.compute_dtype != jnp.float32 else None
+    )
     g = NetworksFactory.get_by_name(
         cfg.gen_name,
         bg_dim=cfg.bg_dim,
@@ -95,6 +101,7 @@ def build_networks(cfg: TrainConfig):
         obj_cond_dim=cfg.obj_cond_dim if cfg.use_spade else 0,
         conv_dim=cfg.conv_dim,
         repeat_num=cfg.repeat_num,
+        remat=cfg.remat,
     )
     d = NetworksFactory.get_by_name(
         "discriminator_patch_gan",
@@ -185,6 +192,8 @@ def make_train_step(
         armask_tsf = batch.get("maskB") if tcfg.use_armask else None
         kwargs = generator_kwargs(flow, armask_src, armask_tsf, tcfg.use_spade)
         outs = g_model.apply(params_g, **kwargs)
+        # losses always in f32 regardless of the conv compute dtype
+        outs = jax.tree.map(lambda o: o.astype(jnp.float32), outs)
         return composite(outs)
 
     vgg_loss_ckpt = jax.checkpoint(

@@ -60,16 +60,20 @@ def orthographic_proj_withz_idrot(
 def orthographic_proj_withz_fxfy(
     pts3d: jax.Array, cam: jax.Array, offset_z: float = 0.0, image_size: int = 256
 ) -> jax.Array:
-    """DexYCB-variant projection (HOIG_DexYCB/utils/nmr.py:155-158 shape):
-    cam = (B, 10) = [fx, fy, cx, cy] ++ 2x3 crop affine."""
+    """DexYCB-variant projection (HOIG_DexYCB/utils/nmr.py:39-50,146-161):
+    cam = (B, 10) = [fx, fy, cx, cy] ++ 2x3 crop affine.
+
+    Unlike the HOv3 camMat variant there is NO OpenGL coordinate flip —
+    cam2pixel consumes the camera-frame points directly (x/(z+1e-8)) and
+    the returned z is the raw positive camera depth.
+    """
     bs = cam.shape[0]
     f = cam[:, 0:2]
     c = cam[:, 2:4]
     trans = cam[:, 4:10].reshape(bs, 2, 3)
 
-    flipped = pts3d * jnp.asarray([1.0, -1.0, -1.0], dtype=pts3d.dtype)
-    z = flipped[:, :, 2:3]
-    xy = flipped[:, :, :2] / z * f[:, None, :] + c[:, None, :]
+    z = pts3d[:, :, 2:3]
+    xy = pts3d[:, :, :2] / (z + 1e-8) * f[:, None, :] + c[:, None, :]
     ones = jnp.ones_like(xy[:, :, :1])
     xy1 = jnp.concatenate([xy, ones], axis=2)
     xy_crop = jnp.einsum("bmk,bnk->bnm", trans, xy1, precision=_HI)

@@ -291,7 +291,9 @@ def render_fim_wim(
     faces = jnp.take(tables["faces"], obj_ids, axis=0)  # (B, Fmax, 3)
     valid = jnp.take(tables["face_valid"], obj_ids, axis=0)
     face_verts = vertices_to_faces(view, faces)
-    fim, wim = rasterize_fim_wim(
+    from hoig_tpu.ops.rasterizer_pallas import rasterize_fim_wim_auto
+
+    fim, wim = rasterize_fim_wim_auto(
         face_verts, valid, image_size=image_size, near=near, far=far
     )
     f2pts = vertices_to_faces(proj, faces)[..., 0:2]

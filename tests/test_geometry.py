@@ -99,7 +99,11 @@ def test_projection_idrot_centered_point():
     np.testing.assert_allclose(out[0, 0, 2], -2.0, atol=1e-6)  # z negated
 
 
-def test_projection_fxfy_matches_idrot_for_equivalent_cam():
+def test_projection_fxfy_no_flip_semantics():
+    """DexYCB cam2pixel projects camera-frame points directly — no OpenGL
+    flip, z stays the raw positive depth (HOIG_DexYCB/utils/nmr.py:39-50).
+    Equivalent to the HOv3 path applied to pre-flipped points (xy), with
+    opposite-sign z."""
     rng = np.random.RandomState(0)
     pts = rng.randn(2, 5, 3).astype(np.float32)
     pts[:, :, 2] += 5.0
@@ -118,8 +122,12 @@ def test_projection_fxfy_matches_idrot_for_equivalent_cam():
         [np.tile(np.array([fx, fy, cx, cy], np.float32)[None], (2, 1)), crop.reshape(2, 6)],
         axis=1,
     )
-    a = np.asarray(orthographic_proj_withz_idrot(jnp.asarray(pts), jnp.asarray(cam_a)))
+    flipped = pts * np.array([1, -1, -1], np.float32)
+    a = np.asarray(
+        orthographic_proj_withz_idrot(jnp.asarray(flipped), jnp.asarray(cam_a))
+    )
     b = np.asarray(orthographic_proj_withz_fxfy(jnp.asarray(pts), jnp.asarray(cam_b)))
+    # idrot's internal flip cancels the pre-flip, so both agree exactly
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 

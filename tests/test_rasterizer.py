@@ -98,3 +98,31 @@ def test_barycentric_weights_interpolate_linearly():
     cy = s - 1 - int((-0.0333 + 1) * s / 2)
     assert fim[cy, cx] == 0
     np.testing.assert_allclose(wim[cy, cx], [1 / 3] * 3, atol=0.05)
+
+
+def test_pallas_rasterizer_matches_xla(rng):
+    """The Pallas tiled kernel (interpret mode on CPU) must match the XLA
+    chunked reduction exactly on fim and to float tolerance on wim."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    import hoig_tpu.ops.rasterizer_pallas as rp
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        B, F, S = 2, 300, 128
+        fv = rng.randn(B, F, 3, 3).astype(np.float32) * 0.4
+        fv[:, :, :, 2] = np.abs(fv[:, :, :, 2]) + 1.5
+        valid = rng.rand(B, F) > 0.1
+        fim_p, wim_p = rp.rasterize_fim_wim_pallas(
+            jnp.asarray(fv), jnp.asarray(valid), image_size=S
+        )
+        fim_x, wim_x = rasterize_fim_wim(
+            jnp.asarray(fv), jnp.asarray(valid), image_size=S
+        )
+        np.testing.assert_array_equal(np.asarray(fim_p), np.asarray(fim_x))
+        np.testing.assert_allclose(np.asarray(wim_p), np.asarray(wim_x), atol=1e-4)
+    finally:
+        pl.pallas_call = orig

@@ -289,3 +289,54 @@ def rasterize_silhouette(
         face_verts, face_valid, image_size=image_size, near=near, far=far, chunk=chunk
     )
     return (fim >= 0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "sigma"))
+def soft_silhouette(
+    face_verts: jax.Array,
+    face_valid: jax.Array | None = None,
+    image_size: int = 256,
+    sigma: float = 1.0,
+):
+    """Differentiable coverage mask.
+
+    The reference's rasterizer exposes vertex gradients through
+    edge-walking backward kernels (rasterize_cuda_kernel.cu
+    backward_pixel_map) that HOGAN itself never trains through
+    (models/trainer.py:326 runs the whole conditioning under no_grad).
+    The TPU-native differentiable path uses soft coverage instead: per
+    pixel, sigmoid of the maximum signed edge distance over the face's 3
+    edges (positive inside), max-combined over faces — gradients flow to
+    vertices through plain XLA autodiff, deterministically.
+
+    Returns (B, S, S) float in (0, 1), vertically flipped like the hard
+    rasterizer.
+    """
+    s = image_size
+    xi = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    xp = ((2.0 * xi + 1.0 - s) / s).reshape(-1)
+    yp = ((2.0 * yi + 1.0 - s) / s).reshape(-1)
+    # pixel pitch in NDC scales the sigmoid sharpness
+    scale = jnp.float32(s / (2.0 * sigma))
+
+    def one(fv, valid):
+        setup = _face_setup(fv, valid, image_size)
+        e = setup["edge"]  # (F, 3, 3)
+        # normalize edge functions to approximate signed distance
+        norm = jnp.maximum(
+            jnp.sqrt(e[..., 0] ** 2 + e[..., 1] ** 2), 1e-8
+        )  # (F, 3)
+        d = (
+            xp[:, None, None] * e[None, :, :, 0]
+            + yp[:, None, None] * e[None, :, :, 1]
+            + e[None, :, :, 2]
+        ) / norm[None]
+        inside = jnp.min(d, axis=-1)  # (P, F) signed distance to nearest edge
+        inside = jnp.where(setup["keep"][None, :], inside, -1e6)
+        cov = jax.nn.sigmoid(scale * jnp.max(inside, axis=-1))
+        return cov.reshape(s, s)[::-1]
+
+    if face_valid is None:
+        return jax.vmap(lambda v: one(v, None))(face_verts)
+    return jax.vmap(one)(face_verts, face_valid)

@@ -1,9 +1,25 @@
 from hoig_tpu.ops.morph import morph
 from hoig_tpu.ops.grid_sample import (
     grid_sample,
+    grid_sample_nhwc,
     resize_bilinear_align_corners,
     resize_nearest,
     avg_pool,
 )
-from hoig_tpu.ops.rasterizer import rasterize_fim_wim, rasterize_depth, rasterize_silhouette
-from hoig_tpu.ops.block_extractor import block_extractor, local_attn_reshape
+from hoig_tpu.ops.rasterizer import (
+    rasterize_fim_wim,
+    rasterize_depth,
+    rasterize_silhouette,
+    soft_silhouette,
+)
+from hoig_tpu.ops.rasterizer_pallas import (
+    rasterize_fim_wim_auto,
+    rasterize_fim_wim_pallas,
+)
+from hoig_tpu.ops.block_extractor import (
+    block_extractor,
+    block_extractor_nhwc,
+    local_attn_reshape,
+    local_attn_reshape_nhwc,
+)
+from hoig_tpu.ops.texture import lighting, sample_textures_trilinear

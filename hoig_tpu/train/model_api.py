@@ -115,7 +115,15 @@ class HOIGModel:
             self._G, self._D, self._vgg, self._vgg_params, tables, mano_params,
             self._ccfg, self._tcfg,
         )
-        self._dp = DataParallel(step_fn, make_data_mesh())
+        # the data mesh must divide the per-process batch (torch DDP's
+        # one-process-per-device sidesteps this; with one process driving
+        # all chips the divisibility is ours to enforce)
+        devices = jax.devices()
+        n_use = max(n for n in range(1, len(devices) + 1) if b % n == 0)
+        if n_use != len(devices):
+            print(f"[trainer] batch {b} not divisible by {len(devices)} "
+                  f"devices; using {n_use}")
+        self._dp = DataParallel(step_fn, make_data_mesh(devices[:n_use]))
         self._state = self._dp.replicate(self._state)
 
         self._flow_fn = jax.jit(

@@ -1,0 +1,105 @@
+"""Options surface + Trainer-API facade + driver-contract tests."""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _train_opts(extra=(), tmp=None):
+    from hoig_tpu.options.train_options import TrainOptions
+
+    tmp = tmp or tempfile.mkdtemp()
+    args = [
+        "--dataset_mode", "synthetic", "--image_size", "64", "--batch_size", "2",
+        "--conv_dim", "8", "--repeat_num", "2", "--no_remat",
+        "--synthetic_size", "4", "--use_spade", "--checkpoints_dir", tmp,
+        "--name", "t",
+    ] + list(extra)
+    return TrainOptions().parse(args)
+
+
+def test_options_surface_and_quirks():
+    tmp = tempfile.mkdtemp()
+    opt = _train_opts(["--lambda_rec", "5.0", "--eval_pairs", "x.pkl"], tmp)
+    assert opt.is_train and opt.lambda_rec == 5.0
+    assert opt.gen_name == "generator_spade_attn"  # reference default
+    assert opt.lr_G == 2e-4 and opt.final_lr == 2e-6
+    assert opt.load_epoch == 0
+    # opt dump written like the reference (base_options.py:123-137)
+    assert os.path.exists(os.path.join(tmp, "t", "opt_train.txt"))
+
+
+def test_test_options():
+    from hoig_tpu.options.test_options import TestOptions
+
+    tmp = tempfile.mkdtemp()
+    opt = TestOptions().parse(
+        ["--checkpoints_dir", tmp, "--name", "t", "--output_dir", "/tmp/o"]
+    )
+    assert not opt.is_train
+    assert os.path.exists(os.path.join(tmp, "t", "opt_test.txt"))
+
+
+def test_model_facade_end_to_end():
+    """set_input -> optimize_parameters -> forward -> save/load via the
+    reference Trainer API surface."""
+    from hoig_tpu.data.loader import CustomDatasetDataLoader
+    from hoig_tpu.geometry.conditioning import ConditioningConfig
+    from hoig_tpu.train.model_api import ModelsFactory
+
+    tmp = tempfile.mkdtemp()
+    opt = _train_opts(tmp=tmp)
+    loader = CustomDatasetDataLoader(opt, is_for_train=True)
+    data = loader.load_data()
+
+    parts = loader._dataset.environment()
+    env = dict(
+        tables_np=parts[0], tables=parts[0].as_jax(), mano=parts[1],
+        mano_params=parts[1].as_jax(),
+        ccfg=ConditioningConfig(image_size=opt.image_size), is_ycb=False,
+    )
+    model = ModelsFactory.get_by_name("trainer", opt, env=env)
+    model.set_train()
+    batch = next(iter(data))
+    model.set_input(batch)
+    model.optimize_parameters(trainable=True, keep_data_for_visuals=True)
+
+    errors = model.get_current_errors()
+    assert set(errors) == {"g_rec", "g_tsf", "g_adv", "g_mask",
+                           "g_mask_smooth", "d_real", "d_fake"}
+    assert all(np.isfinite(v) for v in errors.values())
+    scalars = model.get_current_scalars()
+    assert scalars["lr_G"] == pytest.approx(2e-4)
+
+    visuals = model.get_current_visuals()
+    assert "15_batch_fake_img" in visuals
+    s = opt.image_size
+    # untile contract: batch grid of exact image_size crops (eval.py:70-79)
+    assert visuals["15_batch_fake_img"].shape[0] % s == 0
+    assert visuals["15_batch_fake_img"].dtype == np.uint8
+
+    model.save(1)
+    assert os.path.exists(os.path.join(tmp, "t", "net_epoch_1_id_G.ckpt"))
+    model._opt.load_epoch = 1
+    model.load()  # roundtrip through the reference naming
+
+    model.set_eval()
+    fakes = model.forward(keep_data_for_visuals=False)
+    assert fakes[1].shape == (opt.batch_size, s, s, 3)
+
+    old = scalars["lr_G"]
+    model.update_learning_rate()
+    assert model.get_current_scalars()["lr_G"] < old
+
+
+def test_graft_entry_signature():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    assert callable(ge.entry) and callable(ge.dryrun_multichip)

@@ -150,9 +150,13 @@ class CustomDatasetDataLoader:
             opt.dataset_mode, opt, is_for_train
         )
         threads = opt.n_threads_train if is_for_train else opt.n_threads_test
+        # --batch_size is per-device (reference DDP semantics); one process
+        # feeds the whole local mesh, so scale it here (parallel/mesh.py).
+        from hoig_tpu.parallel import per_process_batch_size
+
         self._dataloader = DataLoader(
             self._dataset,
-            batch_size=opt.batch_size,
+            batch_size=per_process_batch_size(opt),
             shuffle=not getattr(opt, "serial_batches", False),
             drop_last=use_ddp or is_for_train,
             num_shards=num_shards if use_ddp else 1,

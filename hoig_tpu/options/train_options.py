@@ -38,4 +38,10 @@ class TrainOptions(BaseOptions):
         p.add_argument(
             "--local_rank", default=int(os.getenv("LOCAL_RANK", -1)), type=int
         )
+        # TPU addition (no reference analog): how many local devices the data
+        # mesh spans. 0 = all. The reference's `--batch_size` is per-GPU
+        # (8 DDP procs x batch 4 = global 32, scripts/train_hov3_ddp.sh:31,52);
+        # here one process drives all chips, so the per-process train batch is
+        # batch_size * num_data_devices.
+        p.add_argument("--num_data_devices", type=int, default=0)
         self.is_train = True

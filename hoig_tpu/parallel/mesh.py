@@ -30,6 +30,33 @@ def make_data_mesh(devices=None) -> Mesh:
     return Mesh(devices, ("data",))
 
 
+def num_data_devices(opt=None) -> int:
+    """How many local devices the data mesh spans (--num_data_devices, 0=all)."""
+    n = int(getattr(opt, "num_data_devices", 0) or 0)
+    local = jax.local_device_count()
+    if n <= 0:
+        return local
+    if n > local:
+        raise ValueError(f"--num_data_devices {n} > {local} local devices")
+    return n
+
+
+def per_process_batch_size(opt) -> int:
+    """Per-process batch for this run.
+
+    The reference's --batch_size is per-GPU: 8 DDP processes x batch 4 =
+    global batch 32 (scripts/train_hov3_ddp.sh:31,52). One JAX process
+    drives all local chips, so during training the per-process batch is
+    batch_size x num_data_devices — the same global batch the reference
+    scripts produce, unchanged. Eval keeps batch_size verbatim (reference
+    eval runs 1 GPU, eval.py:34).
+    """
+    b = int(opt.batch_size)
+    if getattr(opt, "is_train", False):
+        return b * num_data_devices(opt)
+    return b
+
+
 def process_is_primary() -> bool:
     """Rank-0 gating (train_ddp.py:64,100-113 equivalent)."""
     return jax.process_index() == 0

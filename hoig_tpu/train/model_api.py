@@ -30,6 +30,7 @@ from hoig_tpu.train.trainer import (
     decay_lr,
     generator_kwargs,
     init_state,
+    make_eval_metrics,
     make_train_step,
 )
 from hoig_tpu.utils.util import Colorize, tensor2im, tensor2maskim
@@ -82,6 +83,12 @@ class HOIGModel:
                 self._vgg_params, _load_state_dict(vgg_path)
             )
             print(f"loaded vgg19 weights from {vgg_path}")
+        elif vgg_path:
+            print(f"[warn] --vgg_weights {vgg_path} not found — convert the "
+                  "torchvision vgg19 checkpoint first:\n"
+                  "  python scripts/convert_weights.py vgg19 <vgg19.pth> "
+                  f"{vgg_path}\n"
+                  "falling back to random-feature perceptual loss")
         elif self._tcfg.use_vgg:
             print("[warn] --use_vgg without --vgg_weights: random-feature "
                   "perceptual loss (deterministic init)")
@@ -89,7 +96,9 @@ class HOIGModel:
         # init network params: infer generator input shapes WITHOUT running
         # the conditioning stage (jax.eval_shape), then one jitted init —
         # eager-op dispatch is expensive on this platform (remote compiles)
-        b = max(1, opt.batch_size)
+        from hoig_tpu.parallel import num_data_devices, per_process_batch_size
+
+        b = max(1, per_process_batch_size(opt))
         dummy = _dummy_batch(b, s, self._ccfg, self._env, self._tcfg)
 
         def _gkw_of(batch):
@@ -115,14 +124,18 @@ class HOIGModel:
             self._G, self._D, self._vgg, self._vgg_params, tables, mano_params,
             self._ccfg, self._tcfg,
         )
-        # the data mesh must divide the per-process batch (torch DDP's
-        # one-process-per-device sidesteps this; with one process driving
-        # all chips the divisibility is ours to enforce)
-        devices = jax.devices()
-        n_use = max(n for n in range(1, len(devices) + 1) if b % n == 0)
-        if n_use != len(devices):
-            print(f"[trainer] batch {b} not divisible by {len(devices)} "
-                  f"devices; using {n_use}")
+        # the data mesh must divide the per-process batch. During training
+        # per_process_batch_size guarantees b = batch_size * n_use by
+        # construction; anything else is a config error, not something to
+        # silently shrink around.
+        devices = jax.local_devices()
+        n_use = num_data_devices(opt) if self._is_train else max(
+            n for n in range(1, len(devices) + 1) if b % n == 0
+        )
+        if b % n_use != 0:
+            raise ValueError(
+                f"per-process batch {b} not divisible by {n_use} data devices"
+            )
         self._dp = DataParallel(step_fn, make_data_mesh(devices[:n_use]))
         self._state = self._dp.replicate(self._state)
 
@@ -133,6 +146,11 @@ class HOIGModel:
         )
         self._fwd_fn = jax.jit(
             functools.partial(_forward_only, model=self._G, tcfg=self._tcfg)
+        )
+        self._eval_fn = jax.jit(
+            make_eval_metrics(
+                self._G, self._D, self._vgg, self._vgg_params, self._tcfg
+            )
         )
 
         # load networks (reference __init__ tail, trainer.py:206-210)
@@ -167,10 +185,22 @@ class HOIGModel:
         self._batch = _device_batch(batch)
         self._flow = None  # conditioning is fused into the train step
 
-    def forward(self, keep_data_for_visuals: bool = False, return_estimates: bool = False):
-        """Eval-path generation (no parameter update)."""
+    def forward(self, keep_data_for_visuals: bool = False, return_estimates: bool = False,
+                compute_losses: bool = True):
+        """Eval-path generation (no parameter update).
+
+        Also computes the real eval losses so the validation scalars are
+        truthful (the reference's forward computes none and its val loop
+        logs stale train errors, trainer.py:373-415 — knowingly fixed;
+        pass compute_losses=False for the reference's cheaper behavior)."""
         self._flow = self._flow_fn(self._batch)
-        fakes = self._fwd_fn(self._state.params_g, self._flow, self._batch)
+        if compute_losses:
+            fakes, metrics = self._eval_fn(
+                self._state.params_g, self._state.params_d, self._flow, self._batch
+            )
+            self._errors = metrics
+        else:
+            fakes = self._fwd_fn(self._state.params_g, self._flow, self._batch)
         fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = fakes
         if keep_data_for_visuals:
             self._keep_visuals(fake_src, fake_tsf, tsf_mbg, tsf_mh)
@@ -184,7 +214,9 @@ class HOIGModel:
         )
         self._errors = metrics
         if keep_data_for_visuals:
-            self.forward(keep_data_for_visuals=True)
+            # keep the train-step losses in _errors (forward would
+            # recompute them from the already-updated params)
+            self.forward(keep_data_for_visuals=True, compute_losses=False)
 
     def get_current_errors(self) -> OrderedDict:
         keys = ["g_rec", "g_tsf", "g_adv", "g_mask", "g_mask_smooth", "d_real", "d_fake"]

@@ -19,7 +19,7 @@ def _train_opts(extra=(), tmp=None):
         "--dataset_mode", "synthetic", "--image_size", "64", "--batch_size", "2",
         "--conv_dim", "8", "--repeat_num", "2", "--no_remat",
         "--synthetic_size", "4", "--use_spade", "--checkpoints_dir", tmp,
-        "--name", "t",
+        "--name", "t", "--num_data_devices", "2",
     ] + list(extra)
     return TrainOptions().parse(args)
 
@@ -91,11 +91,34 @@ def test_model_facade_end_to_end():
 
     model.set_eval()
     fakes = model.forward(keep_data_for_visuals=False)
-    assert fakes[1].shape == (opt.batch_size, s, s, 3)
+    # --batch_size is per-device; the train loader feeds batch_size * 2 devices
+    assert fakes[1].shape == (opt.batch_size * 2, s, s, 3)
 
     old = scalars["lr_G"]
     model.update_learning_rate()
     assert model.get_current_scalars()["lr_G"] < old
+
+
+def test_batch_scaling_semantics():
+    """--batch_size is per-device: per-process batch = batch_size x data
+    devices at train (reference 8 procs x 4 = global 32 contract), verbatim
+    at eval (reference eval.py:34 runs 1 GPU)."""
+    from hoig_tpu.parallel import num_data_devices, per_process_batch_size
+
+    opt = _train_opts()
+    assert num_data_devices(opt) == 2
+    assert per_process_batch_size(opt) == opt.batch_size * 2
+
+    opt_all = _train_opts(["--num_data_devices", "0"])
+    assert num_data_devices(opt_all) == jax.local_device_count()
+    assert per_process_batch_size(opt_all) == opt.batch_size * jax.local_device_count()
+
+    from hoig_tpu.options.test_options import TestOptions
+
+    topt = TestOptions().parse(
+        ["--checkpoints_dir", tempfile.mkdtemp(), "--name", "t"]
+    )
+    assert per_process_batch_size(topt) == topt.batch_size
 
 
 def test_graft_entry_signature():

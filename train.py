@@ -81,9 +81,12 @@ class Train:
         self._train()
 
     def _train(self):
+        from hoig_tpu.parallel import per_process_batch_size
+
         opt = self._opt
+        self._proc_batch = per_process_batch_size(opt)
         self._total_steps = opt.load_epoch * self._dataset_train_size
-        self._iters_per_epoch = self._dataset_train_size / opt.batch_size
+        self._iters_per_epoch = self._dataset_train_size / self._proc_batch
         self._last_display_time = None
         self._last_save_latest_time = None
         self._last_print_time = time.time()
@@ -130,10 +133,10 @@ class Train:
                 trainable=trainable,
             )
 
-            self._total_steps += opt.batch_size
+            self._total_steps += self._proc_batch
             if self._primary and do_print:
                 errors = self._model.get_current_errors()
-                t = (time.time() - iter_start) / opt.batch_size
+                t = (time.time() - iter_start) / self._proc_batch
                 self._tb_visualizer.print_current_train_errors(
                     i_epoch, i_batch, self._iters_per_epoch, errors, t, do_visuals
                 )

@@ -156,15 +156,24 @@ class ExtractorAttn(nn.Module):
 _REMAT_CACHE = {}
 
 
+def _remat(cls):
+    """nn.remat, keeping the original class name so flax's auto-naming (and
+    therefore every checkpoint key) is identical with and without remat —
+    a remat toggle must never invalidate saved params."""
+    wrapped = nn.remat(cls)
+    wrapped.__name__ = cls.__name__
+    return wrapped
+
+
 def _blocks(remat: bool):
     if remat not in _REMAT_CACHE:
         if remat:
             _REMAT_CACHE[remat] = {
-                "res": nn.remat(ResidualBlock),
-                "spade_res": nn.remat(SPADEResidualBlock),
-                "conv": nn.remat(ConvINReLU),
-                "upconv": nn.remat(UpConvINReLU),
-                "spade_blk": nn.remat(SPADEBlock),
+                "res": _remat(ResidualBlock),
+                "spade_res": _remat(SPADEResidualBlock),
+                "conv": _remat(ConvINReLU),
+                "upconv": _remat(UpConvINReLU),
+                "spade_blk": _remat(SPADEBlock),
             }
         else:
             _REMAT_CACHE[remat] = {
@@ -360,7 +369,7 @@ class Generator(nn.Module):
             n_down=self.n_down, spade_layers=self.spade_layers,
             remat=self.remat,
         )
-        attn_cls = nn.remat(ExtractorAttn) if self.remat else ExtractorAttn
+        attn_cls = _remat(ExtractorAttn) if self.remat else ExtractorAttn
         self.attns = {
             str(l): attn_cls(kernel_size=5, name=f"attn_{l}")
             for l in self.attn_layers

@@ -29,13 +29,28 @@ def save_tree(tree, path: str) -> None:
         fp.write(flax.serialization.to_bytes(host))
 
 
+def _strip_remat_prefix(tree):
+    """Normalize module keys written by older nn.remat-wrapped models
+    ('CheckpointConvINReLU_0' -> 'ConvINReLU_0'). The analog of the
+    reference's `module.`-prefix stripping on load (base_model.py:104-122):
+    a wrapper must not make checkpoints non-portable."""
+    if not isinstance(tree, dict):
+        return tree
+    return {
+        (k[len("Checkpoint"):] if isinstance(k, str) and k.startswith("Checkpoint")
+         else k): _strip_remat_prefix(v)
+        for k, v in tree.items()
+    }
+
+
 def load_tree(template, path: str):
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"Weights file not found. Have you trained a model!? {path}"
         )
     with open(path, "rb") as fp:
-        return flax.serialization.from_bytes(template, fp.read())
+        raw = flax.serialization.msgpack_restore(fp.read())
+    return flax.serialization.from_state_dict(template, _strip_remat_prefix(raw))
 
 
 def save_checkpoint(save_dir: str, epoch, state) -> None:

@@ -53,4 +53,5 @@ python train.py \
         --nepochs_no_decay        ${nepochs_no_decay}  \
         --nepochs_decay           ${nepochs_decay}     \
         --num_repeats             20                   \
+        --vgg_weights            ${vgg_weights:-assets/weights/vgg19.npz} \
         --mask_bce --use_vgg --use_spade

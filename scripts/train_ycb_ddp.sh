@@ -48,4 +48,5 @@ python train.py \
         --nepochs_decay           ${nepochs_decay}     \
         --num_repeats             10                   \
         --final_lr                0.00005              \
+        --vgg_weights            ${vgg_weights:-assets/weights/vgg19.npz} \
         --mask_bce --use_vgg --use_spade

@@ -35,6 +35,9 @@ def main(argv=None):
             if opt.dataset_mode == "hov3"
             else "assets/eval_pairs.pkl"
         )
+        from hoig_tpu.utils.preflight import preflight_assets
+
+        preflight_assets(opt, eval_pairs=opt.pairs_dir)
     opt.serial_batches = True
     opt.is_train = False
     opt.bg_both = False

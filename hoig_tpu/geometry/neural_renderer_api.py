@@ -31,6 +31,12 @@ from hoig_tpu.ops.rasterizer import (
     rasterize_silhouette,
     soft_silhouette,
 )
+from hoig_tpu.ops.rasterizer_grad import (
+    DEFAULT_EPS,
+    rasterize_depth_exact,
+    rasterize_silhouette_exact,
+    render_rgb_exact,
+)
 from hoig_tpu.ops.texture import lighting as apply_lighting
 from hoig_tpu.ops.texture import sample_textures_trilinear
 
@@ -96,23 +102,73 @@ class Renderer:
         verts_view = look_at_fn(vertices, self._eye())
         return vertices_to_faces(verts_view, faces)
 
-    def render_silhouettes(self, vertices, faces, soft: bool = False):
+    def render_silhouettes(self, vertices, faces, soft: bool = False,
+                           exact_grad: bool = False):
+        """Coverage mask. Three gradient modes:
+          default     — hard forward, no vertex gradients (HOGAN's use),
+          soft=True   — sigmoid soft coverage, plain autodiff,
+          exact_grad  — hard forward + the reference backward_pixel_map
+                        edge-walk VJP (rasterize_cuda_kernel.cu:263-521).
+        """
         fv = self._view_faces(vertices, faces)
         if soft:
             return soft_silhouette(fv, image_size=self.image_size)
         s = self.image_size * (2 if self.anti_aliasing else 1)
-        sil = rasterize_silhouette(fv, image_size=s, near=self.near, far=self.far)
+        if exact_grad:
+            valid = jnp.ones(fv.shape[:2], jnp.float32)
+            sil = rasterize_silhouette_exact(fv, valid, s, self.near, self.far)
+        else:
+            sil = rasterize_silhouette(fv, image_size=s, near=self.near, far=self.far)
         if self.anti_aliasing:
             sil = avg_pool(sil[:, None], 2)[:, 0]
         return sil
 
-    def render_depth(self, vertices, faces):
+    def render_depth(self, vertices, faces, exact_grad: bool = False):
         fv = self._view_faces(vertices, faces)
+        if exact_grad:
+            valid = jnp.ones(fv.shape[:2], jnp.float32)
+            return rasterize_depth_exact(
+                fv, valid, self.image_size, self.near, self.far
+            )
         return rasterize_depth(
             fv, image_size=self.image_size, near=self.near, far=self.far
         )
 
-    def render(self, vertices, faces, textures, get_fim: bool = False):
+    def render(self, vertices, faces, textures, get_fim: bool = False,
+               exact_grad: bool = False):
+        """RGB render: lighting -> rasterize (2x AA) -> texture sampling.
+
+        exact_grad=True routes through the custom-VJP path whose backward
+        matches the reference RasterizeFunction: grad->textures via the
+        sampling weights, grad->vertices via the edge-walking pixel map
+        (no vertex gradient through the barycentric weights)."""
+        if exact_grad:
+            world_fv = vertices_to_faces(vertices, faces)
+            lit = apply_lighting(
+                world_fv, textures,
+                self.light_intensity_ambient, self.light_intensity_directional,
+                self.light_color_ambient, self.light_color_directional,
+                self.light_direction,
+            )
+            fv = self._view_faces(vertices, faces)
+            s = self.image_size * (2 if self.anti_aliasing else 1)
+            valid = jnp.ones(fv.shape[:2], jnp.float32)
+            rgb = render_rgb_exact(
+                fv, lit, valid, s, self.near, self.far, 128, DEFAULT_EPS,
+                self.background_color,
+            )
+            rgb = rgb.transpose(0, 3, 1, 2)
+            if self.anti_aliasing:
+                rgb = avg_pool(rgb, 2)
+            if get_fim:
+                fim_out, _ = rasterize_fim_wim(
+                    fv, image_size=self.image_size, near=self.near, far=self.far
+                )
+                return rgb, fim_out
+            return rgb
+        return self._render_plain(vertices, faces, textures, get_fim)
+
+    def _render_plain(self, vertices, faces, textures, get_fim: bool = False):
         """RGB render: lighting -> rasterize (2x AA) -> texture sampling."""
         world_fv = vertices_to_faces(vertices, faces)
         lit = apply_lighting(

@@ -12,6 +12,13 @@ from hoig_tpu.ops.rasterizer import (
     rasterize_silhouette,
     soft_silhouette,
 )
+from hoig_tpu.ops.rasterizer_grad import (
+    backward_depth_map,
+    backward_pixel_map,
+    rasterize_depth_exact,
+    rasterize_silhouette_exact,
+    render_rgb_exact,
+)
 from hoig_tpu.ops.rasterizer_pallas import (
     rasterize_fim_wim_auto,
     rasterize_fim_wim_pallas,

@@ -73,6 +73,9 @@ def build_environment(opt):
             getattr(opt, "synthetic_num_objects", 2), opt.image_size
         )
     else:
+        from hoig_tpu.utils.preflight import preflight_assets
+
+        preflight_assets(opt)
         mano = MANOModel.from_pickle(find_mano_pickle(opt.mano_model))
         uv = opt.uv_mapping[0] if isinstance(opt.uv_mapping, list) else opt.uv_mapping
         tables_np = build_surface_tables(

@@ -319,6 +319,77 @@ def make_train_step(
     return train_step
 
 
+def make_eval_metrics(g_model, d_model, vgg_model, vgg_params, tcfg: TrainConfig):
+    """Returns eval_fn(params_g, params_d, flow, batch) -> (fakes, metrics).
+
+    The same loss graph as the train step, evaluated without gradients or
+    optimizer updates, so the validation loop can log *current* losses.
+    (The reference's val loop logs stale train errors because its forward
+    computes none, HOIG_HOv3/models/trainer.py:373-415 — knowingly fixed.)
+    fakes = (fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh).
+    """
+    mask_crt = bce_loss if tcfg.mask_bce else mse_loss
+
+    def eval_fn(params_g, params_d, flow, batch):
+        armask_src = batch.get("maskA") if tcfg.use_armask else None
+        armask_tsf = batch.get("maskB") if tcfg.use_armask else None
+        kwargs = generator_kwargs(flow, armask_src, armask_tsf, tcfg.use_spade)
+        outs = g_model.apply(params_g, **kwargs)
+        outs = jax.tree.map(lambda o: o.astype(jnp.float32), outs)
+        fakes = composite(outs)
+        fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = fakes
+
+        real_src = _nhwc(batch["imageA"])
+        real_tsf = _nhwc(batch["imageB"])
+        cond = _d_cond(flow, armask_tsf)
+        d_fake = d_model.apply(
+            params_d, jnp.concatenate([fake_tsf, cond], axis=-1)
+        )
+        d_real = d_model.apply(
+            params_d, jnp.concatenate([real_tsf, cond], axis=-1)
+        )
+
+        loss_adv = lsgan_loss(d_fake, 0.0) * tcfg.lambda_D_prob
+        loss_rec = l1_loss(fake_src, real_src) * tcfg.lambda_rec
+        if tcfg.use_vgg:
+            loss_tsf = (
+                vgg_perceptual_loss(vgg_model, vgg_params, fake_tsf, real_tsf)
+                * tcfg.lambda_tsf
+            )
+        else:
+            loss_tsf = l1_loss(fake_tsf, real_tsf) * tcfg.lambda_tsf
+
+        masks_bg = jnp.concatenate([src_mbg, tsf_mbg], axis=0)
+        masks_hand = jnp.concatenate([src_mh, tsf_mh], axis=0)
+        tgt_bg = jnp.concatenate(
+            [_nhwc(flow["src_crop_mask_bg"]), _nhwc(flow["tsf_crop_mask_bg"])],
+            axis=0,
+        )
+        tgt_hand = jnp.concatenate(
+            [_nhwc(flow["src_crop_mask_hand"]), _nhwc(flow["tsf_crop_mask_hand"])],
+            axis=0,
+        )
+        loss_mask = (
+            mask_crt(masks_bg, tgt_bg) + mask_crt(masks_hand, tgt_hand)
+        ) * tcfg.lambda_mask
+        loss_mask_smooth = (
+            tv_smooth_loss(masks_bg) + tv_smooth_loss(masks_hand)
+        ) * tcfg.lambda_mask_smooth
+
+        metrics = {
+            "g_adv": loss_adv,
+            "g_rec": loss_rec,
+            "g_tsf": loss_tsf,
+            "g_mask": loss_mask,
+            "g_mask_smooth": loss_mask_smooth,
+            "d_real": jnp.mean(d_real),
+            "d_fake": jnp.mean(d_fake),
+        }
+        return fakes, metrics
+
+    return eval_fn
+
+
 # Adam is built with unit LR; the actual LR multiplies the updates so it can
 # live in TrainState (traced) and follow the reference's per-epoch decay
 # without recompiling.

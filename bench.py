@@ -1,22 +1,40 @@
-"""Throughput benchmark: 256x256 images/sec/chip, gen fwd + full GAN step.
+"""Throughput benchmark: 256x256 HOGAN, one JSON line on stdout.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The
-reference publishes no throughput numbers (BASELINE.md), so vs_baseline is
-reported against a nominal 8xV100 DDP reference estimate derived from the
-reference's training config; treat it as provisional until the A100
-baseline is measured.
+Headline metric (stable across rounds): full GAN train-step
+images/sec/chip at 256x256, flagship config (generator_spade_attn,
+conv_dim 64, repeat 6, SPADE + 9 flow-guided attention layers, PatchGAN-4,
+full loss set, conditioning fused into the step), fp32 — the production
+path of scripts/train_hov3_ddp.sh.
 
-Runs the flagship config: generator_spade_attn (conv_dim 64, repeat 6,
-SPADE + 9 flow-guided attention layers), PatchGAN-4, full loss set, with
-the conditioning stage fused into the step (the production path).
+vs_baseline: the reference publishes NO throughput numbers (BASELINE.md);
+the baseline here is an ESTIMATE, derived — not guessed — as:
+
+    est. A100 img/s  =  (TF32 peak 156 TFLOP/s x 30% utilization)
+                        / (model FLOPs per image)
+
+where model FLOPs per image come from XLA's cost analysis of the
+generator-forward program (forward-only; the train step is ~3x that, and
+the same x3 cancels in the ratio). 30% is a deliberately GENEROUS
+utilization for the reference's eager per-sample-python pipeline
+(models/trainer.py:63-97 runs conditioning in a python loop per sample);
+the true reference number must be measured on an A100 to replace this.
+All assumptions + secondary metrics (bf16 step, gen-forward img/s, MFU)
+are written to BENCH_DETAILS.json and stderr.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
-import numpy as np
+A100_TF32_PEAK = 156e12  # dense TF32 TFLOP/s (A100 80GB datasheet)
+A100_UTILIZATION = 0.30  # generous estimate for the torch reference
+V5E_BF16_PEAK = 197e12  # TPU v5e chip peak bf16 TFLOP/s
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -32,7 +50,7 @@ def main():
         init_state,
         make_train_step,
     )
-    from hoig_tpu.train.trainer import generator_kwargs
+    from hoig_tpu.train.trainer import composite, generator_kwargs
 
     S = 256
     B = 4  # reference per-GPU batch (scripts/train_hov3_ddp.sh:52)
@@ -40,62 +58,143 @@ def main():
     tables = tables_np.as_jax()
     mano_params = mano.as_jax()
     ccfg = ConditioningConfig(image_size=S)
-    tcfg = TrainConfig(image_size=S)
-
-    g, d = build_networks(tcfg)
-    vgg = Vgg19Features()
-    rng = jax.random.PRNGKey(0)
-    vgg_params = jax.jit(vgg.init)(rng, jnp.zeros((1, S, S, 3)))
+    n_chips = max(1, len(jax.devices()))
 
     batch = {
         k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict) else jnp.asarray(v))
         for k, v in synthetic_batch(B, obj_verts, image_size=S).items()
     }
+    details = {"batch": B, "image_size": S, "n_chips": n_chips,
+               "device": str(jax.devices()[0])}
 
-    def gkw_of(b_):
+    def bench_step(tag, tcfg, n_iter=10):
+        g, d = build_networks(tcfg)
+        vgg = Vgg19Features()
+        rng = jax.random.PRNGKey(0)
+        vgg_params = jax.jit(vgg.init)(rng, jnp.zeros((1, S, S, 3)))
+
+        def gkw_of(b_):
+            flow = hand_recovery_flow(
+                tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
+                b_["manoB"], ccfg,
+            )
+            return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
+
+        shapes = jax.eval_shape(gkw_of, batch)
+        gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
+               for k, v in shapes.items()}
+        state = init_state(
+            rng, g, d, tcfg, gkw, jnp.zeros((B, S, S, tcfg.d_input_nc))
+        )
+        step = jax.jit(
+            make_train_step(g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg),
+            donate_argnums=(0,),
+        )
+        t0 = time.time()
+        state, _ = step(state, batch, jnp.asarray(True))
+        jax.block_until_ready(state.step)
+        details[f"{tag}_compile_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        for _ in range(n_iter):
+            state, metrics = step(state, batch, jnp.asarray(True))
+        jax.block_until_ready(state.step)
+        dt = time.time() - t0
+        ips = B * n_iter / dt / n_chips
+        details[f"{tag}_step_ms"] = round(dt / n_iter * 1e3, 2)
+        details[f"{tag}_images_per_sec_per_chip"] = round(ips, 3)
+        log(f"{tag}: {ips:.3f} img/s/chip ({dt/n_iter*1e3:.1f} ms/step)")
+        return ips
+
+    # generator forward (BASELINE.md's second metric) + model FLOPs
+    tcfg = TrainConfig(image_size=S)
+    g, _ = build_networks(tcfg)
+    rng = jax.random.PRNGKey(0)
+
+    def fwd(params_g, b_):
+        flow = hand_recovery_flow(
+            tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
+            b_["manoB"], ccfg,
+        )
+        kw = generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
+        return composite(g.apply(params_g, **kw))
+
+    def gkw_shape(b_):
         flow = hand_recovery_flow(
             tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
             b_["manoB"], ccfg,
         )
         return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
 
-    shapes = jax.eval_shape(gkw_of, batch)
+    shapes = jax.eval_shape(gkw_shape, batch)
     gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
            for k, v in shapes.items()}
-    state = init_state(rng, g, d, tcfg, gkw, jnp.zeros((B, S, S, tcfg.d_input_nc)))
-
-    step = jax.jit(
-        make_train_step(g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg),
-        donate_argnums=(0,),
-    )
-
-    # warmup/compile
+    params_g = jax.jit(lambda r, kw: g.init(r, **kw))(rng, gkw)
+    fwd_j = jax.jit(fwd)
+    flops_per_image = None
+    try:
+        compiled = fwd_j.lower(params_g, batch).compile()
+        ca = compiled.cost_analysis()
+        if ca and ca.get("flops"):
+            flops_per_image = float(ca["flops"]) / B
+            details["gen_fwd_flops_per_image"] = flops_per_image
+    except Exception as e:  # cost analysis is best-effort on plugin backends
+        log(f"cost_analysis unavailable: {e}")
+    out = fwd_j(params_g, batch)
+    jax.block_until_ready(out)
+    n = 20
     t0 = time.time()
-    state, _ = step(state, batch, jnp.asarray(True))
-    jax.block_until_ready(state.step)
-    compile_s = time.time() - t0
-
-    # timed steps
-    n_iter = 10
-    t0 = time.time()
-    for _ in range(n_iter):
-        state, metrics = step(state, batch, jnp.asarray(True))
-    jax.block_until_ready(state.step)
+    for _ in range(n):
+        out = fwd_j(params_g, batch)
+    jax.block_until_ready(out)
     dt = time.time() - t0
+    gen_ips = B * n / dt / n_chips
+    details["gen_fwd_images_per_sec_per_chip"] = round(gen_ips, 3)
+    details["gen_fwd_ms"] = round(dt / n * 1e3, 2)
+    log(f"gen_fwd: {gen_ips:.3f} img/s/chip")
+    if flops_per_image:
+        tf = flops_per_image * gen_ips / 1e12
+        details["gen_fwd_tflops_per_sec"] = round(tf, 2)
+        details["gen_fwd_mfu_vs_bf16_peak"] = round(tf * 1e12 / V5E_BF16_PEAK, 4)
 
-    imgs_per_sec = B * n_iter / dt
-    n_chips = max(1, len(jax.devices()))
-    value = imgs_per_sec / n_chips
-    # provisional reference point: the 8-GPU reference config processes
-    # ~8*4 imgs per ~2s-class step on V100s => ~2 img/s/GPU (unmeasured).
-    nominal_ref = 2.0
+    # headline: fp32 train step (production path), then bf16
+    value = bench_step("train_fp32", TrainConfig(image_size=S))
+    try:
+        bf16 = bench_step(
+            "train_bf16", TrainConfig(image_size=S, compute_dtype=jnp.bfloat16)
+        )
+        details["bf16_speedup"] = round(bf16 / value, 3)
+    except Exception as e:
+        log(f"bf16 bench failed: {e}")
+
+    # derived (clearly-labeled ESTIMATE) A100 baseline
+    if flops_per_image:
+        # train step ~= fwd + bwd(2x fwd) for G + D fwd/bwd; the same model
+        # runs on both sides of the ratio, so scale by gen-fwd FLOPs only.
+        est_a100_img_s = A100_TF32_PEAK * A100_UTILIZATION / (3.0 * flops_per_image)
+        details["baseline_estimate"] = {
+            "a100_train_img_s_per_gpu_ESTIMATE": round(est_a100_img_s, 3),
+            "derivation": "156e12 TF32 peak * 0.30 util / (3 * gen_fwd_flops"
+                          "_per_image); reference publishes no throughput",
+        }
+        vs = value / est_a100_img_s
+    else:
+        # fallback: keep r01's provisional nominal, labeled
+        details["baseline_estimate"] = {
+            "nominal_img_s_per_gpu_PROVISIONAL": 2.0,
+            "derivation": "cost analysis unavailable; unmeasured nominal",
+        }
+        vs = value / 2.0
+
+    with open("BENCH_DETAILS.json", "w") as fp:
+        json.dump(details, fp, indent=1)
+    log(json.dumps(details, indent=1))
     print(
         json.dumps(
             {
                 "metric": "hogan_train_step_images_per_sec_per_chip_256",
                 "value": round(value, 3),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(value / nominal_ref, 3),
+                "vs_baseline": round(vs, 3),
             }
         )
     )

@@ -21,6 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the suite is compile-bound (~25 min cold); warm
+# reruns skip identical XLA compilations entirely.
+jax.config.update("jax_compilation_cache_dir", "/tmp/hoig_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

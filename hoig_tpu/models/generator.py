@@ -64,14 +64,28 @@ def _identity_grid_ij(h: int, dtype) -> jax.Array:
 class ExtractorAttn(nn.Module):
     """Flow-guided local attention (extract_attn.py:8-37), fused.
 
-    The reference materializes k^2-expanded block tensors (B, k·h, k·w, C)
+    The reference materializes k^2-expanded block tensors (B, k*h, k*w, C)
     through two bespoke CUDA ops and a k-stride conv. TPU-native
-    reformulation with IDENTICAL parameters and math: the stride-k conv
-    over the expanded grid is algebraically a sum of k^2 per-offset
-    matmuls, so each offset's flow-shifted sample is produced, contracted
-    on the MXU, and discarded — peak memory drops from O(k^2·h·w·2C) to
-    O(h·w·C) and no expanded tensor ever exists. The final
-    `avg_pool(attn * block, k)` is the same sum: mean_t attn_t * S_t.
+    reformulation with IDENTICAL parameters and math, restructured around
+    the (k+1)^2 distinct bilinear CORNERS instead of the k^2 offsets:
+
+      * every flow-offset sample s_t shares its 4 gather corners with the
+        neighboring offsets, so k^2 x 4 gathers per use collapse to
+        (k+1)^2 - at k=5 that is 36 corner gathers per phase instead of
+        100 (gathers, and their scatter-add transposes in the backward,
+        are the HBM-bound cost on TPU; the matmuls are MXU-cheap),
+      * the zero-flow target half of fc_0 (a sum over clamped integer
+        shifts) is exactly a replicate-pad VALID correlation (XLA conv),
+      * the fc_0 source half uses the identity (wf . G) @ W = wf . (G @ W)
+        (wf is a per-pixel scalar field, the contraction is over
+        channels), so each corner is gathered once, contracted against
+        the <=4 offset weight slices that touch it, and discarded,
+      * the output mean_t attn_t * s_t is regrouped per corner:
+        sum_corner (sum_t wf attn_t) . G_corner,
+      * peak memory stays O(h*w*C): no k^2 expansion, one corner live.
+
+    All arithmetic runs in the process compute dtype (bf16 halves the
+    gather traffic when enabled); softmax statistics stay in f32.
 
     Numerics notes (reference quirks kept):
       * flow is interpreted in pixel units (block_extractor_kernel.cu:58-68),
@@ -81,71 +95,95 @@ class ExtractorAttn(nn.Module):
 
     kernel_size: int = 5
 
-    @staticmethod
-    def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
-        """Border-clamped integer shift: out[i,j] = x[i+dy, j+dx]."""
-        h, w = x.shape[1], x.shape[2]
-        ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-        xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-        return x[:, ys][:, :, xs]
-
     @nn.compact
     def __call__(self, source: jax.Array, target: jax.Array, flow: jax.Array):
+        from hoig_tpu.models.layers import compute_dtype
+
         k = self.kernel_size
         r = k // 2
         b, h, w, c = source.shape
-        dn = jnp.float32
+        cd = compute_dtype() or jnp.float32
 
         w0 = self.param("fc_0_kernel", conv_init, (k, k, 2 * c, 128))
         b0 = self.param("fc_0_bias", nn.initializers.zeros, (128,))
         w1 = self.param("fc_1_kernel", conv_init, (1, 1, 128, k * k))
         b1 = self.param("fc_1_bias", nn.initializers.zeros, (k * k,))
+        w0c = w0.astype(cd)
 
-        # shared bilinear footprint of the flow (pixel units, quirk kept)
-        xf = jax.lax.broadcasted_iota(dn, (h, w), 1)
-        yf = jax.lax.broadcasted_iota(dn, (h, w), 0)
-        fx = flow[..., 0] + xf
-        fy = flow[..., 1] + yf
-        x0 = jnp.floor(fx)
-        y0 = jnp.floor(fy)
-        tx = (fx - x0)[..., None]
-        ty = (fy - y0)[..., None]
-        x0 = x0.astype(jnp.int32)
-        y0 = y0.astype(jnp.int32)
-        src_flat = source.reshape(b, h * w, c)
+        # shared bilinear footprint of the flow (pixel units, quirk kept);
+        # index math in f32, weights in the compute dtype
+        f32 = jnp.float32
+        xf = jax.lax.broadcasted_iota(f32, (h, w), 1)
+        yf = jax.lax.broadcasted_iota(f32, (h, w), 0)
+        fx = flow[..., 0].astype(f32) + xf
+        fy = flow[..., 1].astype(f32) + yf
+        x0f = jnp.floor(fx)
+        y0f = jnp.floor(fy)
+        wx = {1: (fx - x0f)[..., None].astype(cd)}
+        wy = {1: (fy - y0f)[..., None].astype(cd)}
+        wx[0] = 1.0 - wx[1]
+        wy[0] = 1.0 - wy[1]
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        src_flat = source.astype(cd).reshape(b, h * w, c)
 
-        def sample_source(dy: int, dx: int) -> jax.Array:
-            """Bilinear flow-offset sample at block offset (dy, dx)."""
-            out = None
-            for cy, wy in ((0, 1.0 - ty), (1, ty)):
-                yc = jnp.clip(y0 + (dy + cy), 0, h - 1)
-                for cx, wx in ((0, 1.0 - tx), (1, tx)):
-                    xc = jnp.clip(x0 + (dx + cx), 0, w - 1)
-                    idx = (yc * w + xc).reshape(b, h * w, 1)
-                    vals = jnp.take_along_axis(src_flat, idx, axis=1)
-                    contrib = vals.reshape(b, h, w, c) * (wy * wx)
-                    out = contrib if out is None else out + contrib
+        def corner(ry: int, rx: int) -> jax.Array:
+            """Border-clamped gather of source at floor(flow) + (rx, ry)."""
+            yc = jnp.clip(y0 + ry, 0, h - 1)
+            xc = jnp.clip(x0 + rx, 0, w - 1)
+            idx = (yc * w + xc).reshape(b, h * w, 1)
+            return jnp.take_along_axis(src_flat, idx, axis=1)
+
+        def offsets_touching(ry: int, rx: int):
+            """The <=4 (corner-weight, offset) pairs using corner (ry, rx):
+            offset (dy, dx) with bilinear corner (cy, cx) reads gather
+            corner (dy+cy, dx+cx)."""
+            out = []
+            for cy in (0, 1):
+                dy = ry - cy
+                if not -r <= dy <= r:
+                    continue
+                for cx in (0, 1):
+                    dx = rx - cx
+                    if not -r <= dx <= r:
+                        continue
+                    out.append((cy, cx, dy + r, dx + r))
             return out
 
-        # fc_0 as per-offset matmul accumulation (no k^2 expansion)
-        acc = jnp.broadcast_to(b0, (b, h, w, 128))
-        for oy in range(k):
-            for ox in range(k):
-                s_t = sample_source(oy - r, ox - r)
-                y_t = self._shift(target, oy - r, ox - r)
-                acc = acc + jnp.einsum("bhwc,cf->bhwf", y_t, w0[oy, ox, :c])
-                acc = acc + jnp.einsum("bhwc,cf->bhwf", s_t, w0[oy, ox, c:])
-        hdn = nn.leaky_relu(acc, negative_slope=0.01)
-        logits = jnp.einsum("bhwf,fk->bhwk", hdn, w1[0, 0]) + b1
-        attn = nn.softmax(logits, axis=-1)  # (B, h, w, k*k)
+        corners = [(ry, rx) for ry in range(-r, r + 2) for rx in range(-r, r + 2)]
 
-        # mean_t attn_t * S_t  ==  avg_pool(attn * block_source, k)
-        out = jnp.zeros_like(source)
-        for oy in range(k):
-            for ox in range(k):
-                s_t = sample_source(oy - r, ox - r)
-                out = out + attn[..., oy * k + ox : oy * k + ox + 1] * s_t
-        return out / (k * k)
+        # fc_0 target half: sum_t shift(target, t) @ W_t == replicate-pad
+        # VALID correlation (one MXU conv instead of k^2 shifts+matmuls)
+        tpad = jnp.pad(
+            target.astype(cd), ((0, 0), (r, r), (r, r), (0, 0)), mode="edge"
+        )
+        acc = jax.lax.conv_general_dilated(
+            tpad, w0c[:, :, :c], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b0.astype(cd)
+
+        # fc_0 source half: one gather per corner, stacked contraction
+        for ry, rx in corners:
+            ts = offsets_touching(ry, rx)
+            wstk = jnp.concatenate([w0c[oy, ox, c:] for _, _, oy, ox in ts], axis=-1)
+            mm = (corner(ry, rx) @ wstk).reshape(b, h, w, len(ts) * 128)
+            for j, (cy, cx, _, _) in enumerate(ts):
+                acc = acc + (wy[cy] * wx[cx]) * mm[..., j * 128 : (j + 1) * 128]
+
+        hdn = nn.leaky_relu(acc, negative_slope=0.01)
+        logits = jnp.einsum("bhwf,fk->bhwk", hdn, w1[0, 0].astype(cd)) + b1.astype(cd)
+        attn = nn.softmax(logits.astype(f32), axis=-1).astype(cd)  # (B,h,w,k*k)
+
+        # mean_t attn_t * s_t, regrouped per corner
+        out = jnp.zeros((b, h, w, c), cd)
+        for ry, rx in corners:
+            cw = None
+            for cy, cx, oy, ox in offsets_touching(ry, rx):
+                t_idx = oy * k + ox
+                term = (wy[cy] * wx[cx]) * attn[..., t_idx : t_idx + 1]
+                cw = term if cw is None else cw + term
+            out = out + cw * corner(ry, rx).reshape(b, h, w, c)
+        return (out / (k * k)).astype(source.dtype)
 
 
 # Activation rematerialization: a 16GB-HBM chip cannot hold the training

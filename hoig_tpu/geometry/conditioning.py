@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from hoig_tpu.geometry import renderer as rend
 from hoig_tpu.geometry.mano import mano_forward, pca_to_axisang
-from hoig_tpu.ops.grid_sample import grid_sample
+from hoig_tpu.ops.grid_sample import grid_sample_packed
 from hoig_tpu.ops.morph import morph
 
 NUM_HAND_FACES = rend.NUM_HAND_FACES
@@ -165,28 +165,28 @@ def hand_recovery_flow(
         cfg.image_size, cfg.camera_model,
     )
 
-    src_cond = rend.encode_fim(tables, obj_ids, src_fim)
-    ref_cond = rend.encode_fim(tables, obj_ids, ref_fim)
-    src_seg = _seg_onehot(
-        rend.encode_sem(tables, obj_ids, src_fim), cfg.num_seg_channels
+    # one fused wide-row gather per side replaces the reference's separate
+    # encode_fim / encode_sem / sample_from_texture_dense / cal_bc fetches
+    # (renderer.encode_and_warp — values identical, gathers packed)
+    src_cond, src_sem, t_src, _ = rend.encode_and_warp(
+        tables, obj_ids, src_fim, src_wim
     )
-    ref_seg = _seg_onehot(
-        rend.encode_sem(tables, obj_ids, ref_fim), cfg.num_seg_channels
+    ref_cond, ref_sem, t_ref, t_flow = rend.encode_and_warp(
+        tables, obj_ids, ref_fim, ref_wim, extra_f2pts=src_f2pts
     )
+    src_seg = _seg_onehot(src_sem, cfg.num_seg_channels)
+    ref_seg = _seg_onehot(ref_sem, cfg.num_seg_channels)
     src_mask_hand = _hand_mask(src_fim)
     ref_mask_hand = _hand_mask(ref_fim)
 
-    t_flow, _ = rend.cal_bc_transform(src_f2pts, src_fim, ref_fim, ref_wim)
     hand_region = (ref_mask_hand[:, 0][..., None] == 0)
     t_hand = jnp.where(hand_region, t_flow, -2.0)  # (trainer.py:81)
 
     input_texture = rend.get_texture_backward_warp(
         tables, src_img, src_f2pts, src_fim, obj_ids
     )
-    t_ref = rend.sample_from_texture_dense(tables, ref_fim, ref_wim, obj_ids)
-    render_img_ref = grid_sample(input_texture, t_ref, align_corners=True)
-    t_src = rend.sample_from_texture_dense(tables, src_fim, src_wim, obj_ids)
-    render_img_src = grid_sample(input_texture, t_src, align_corners=True)
+    render_img_ref = grid_sample_packed(input_texture, t_ref, align_corners=True)
+    render_img_src = grid_sample_packed(input_texture, t_src, align_corners=True)
 
     src_mask_bg = morph(src_cond[:, -1:], ks=3, mode="erode")
     ref_mask_bg = morph(ref_cond[:, -1:], ks=3, mode="erode")

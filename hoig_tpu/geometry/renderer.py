@@ -40,7 +40,7 @@ from hoig_tpu.geometry.projection import (
     to_view_space,
     vertices_to_faces,
 )
-from hoig_tpu.ops.grid_sample import grid_sample
+from hoig_tpu.ops.grid_sample import grid_sample, grid_sample_packed
 from hoig_tpu.ops.morph import morph
 from hoig_tpu.ops.rasterizer import rasterize_fim_wim
 
@@ -325,6 +325,57 @@ def encode_sem(tables: dict, obj_ids: jax.Array, fim: jax.Array) -> jax.Array:
     return enc.reshape(b, s1, s2, 1).transpose(0, 3, 1, 2)
 
 
+def encode_and_warp(
+    tables: dict,
+    obj_ids: jax.Array,
+    fim: jax.Array,
+    wim: jax.Array,
+    extra_f2pts: jax.Array | None = None,
+):
+    """Fused fim-indexed lookups: ONE wide-row gather for what the
+    reference fetches in 3-4 separate passes (encode_fim + encode_sem +
+    sample_from_texture_dense[ + cal_bc_transform's barycentric warp]).
+
+    TPU gathers are issue-rate-bound on narrow rows, so map_fn (3) ++
+    sem (1) ++ atlas uv corners (6) [++ src face corners (6)] are packed
+    into one (B, Fmax+1, 10|16) table and each pixel fetches a single
+    40/64-byte row. Values are bit-identical to the separate ops
+    (gathers reordered only; the -2 background fill comes from the same
+    exist mask).
+
+    Returns (cond (B,3,S,S), sem (B,1,S,S), t_uv (B,S,S,2),
+             t_extra (B,S,S,2) | None).
+    """
+    b, s1, s2 = fim.shape
+    map_fn = jnp.take(tables["map_fn"], obj_ids, axis=0)  # (B, F+1, 3)
+    sem = jnp.take(tables["sem"], obj_ids, axis=0)  # (B, F+1, 1)
+    f_max = tables["map_fn"].shape[1] - 1
+    uvc = jnp.take(tables["faces_uv_coord"], obj_ids, axis=0).reshape(
+        b, f_max, 6
+    )
+    pad_row = lambda a: jnp.pad(a, ((0, 0), (0, 1), (0, 0)))
+    parts = [map_fn, sem, pad_row(uvc)]
+    if extra_f2pts is not None:
+        parts.append(pad_row(extra_f2pts.reshape(b, f_max, 6)))
+    table = jnp.concatenate(parts, axis=-1)  # (B, F+1, 10|16)
+
+    idx = _bg_gather_index(fim, f_max).reshape(b, s1 * s2, 1)
+    rows = jnp.take_along_axis(table, idx, axis=1).reshape(b, s1, s2, -1)
+
+    cond = rows[..., :3].transpose(0, 3, 1, 2)
+    semm = rows[..., 3:4].transpose(0, 3, 1, 2)
+    exist = fim >= 0
+
+    def warp(corner_cols):
+        corners = corner_cols.reshape(b, s1, s2, 3, 2)
+        t = jnp.sum(corners * wim[..., None], axis=-2)
+        return jnp.where(exist[..., None], t, -2.0)
+
+    t_uv = warp(rows[..., 4:10])
+    t_extra = warp(rows[..., 10:16]) if extra_f2pts is not None else None
+    return cond, semm, t_uv, t_extra
+
+
 def _barycentric_warp(f2pts: jax.Array, fim: jax.Array, wim: jax.Array) -> tuple:
     """Per-pixel source coords by barycentric interpolation of face verts.
 
@@ -417,8 +468,9 @@ def get_texture_backward_warp(
     t, exist = _barycentric_warp(src_f2pts, fim_uv, wim_uv)
     o = _occlusion_from_fim(t, exist, fim_uv, src_fim)  # (B, 256, 640, 1)
 
-    # default grid_sample is align_corners=False here (nmr.py:1048)
-    syn_tex = grid_sample(im, t, align_corners=False)
+    # default grid_sample is align_corners=False here (nmr.py:1048);
+    # packed single-gather variant (value-identical, TPU-tuned)
+    syn_tex = grid_sample_packed(im, t, align_corners=False)
 
     o = o.transpose(0, 3, 1, 2)  # (B, 1, 256, 640)
     o = morph(o, ks=3, mode="erode")

@@ -232,17 +232,23 @@ class ResNetGenerator(nn.Module):
     k_size: int = 3
     n_down: int = 3
     remat: bool = True
+    remat_bottleneck: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         blk = _blocks(self.remat)
+        # bottleneck blocks run at 1/2^n_down resolution: their activations
+        # are cheap to KEEP and expensive to recompute, so selective remat
+        # (remat_bottleneck=False) skips them while the full-res encoder/
+        # decoder layers stay rematerialized
+        blk_mid = _blocks(self.remat and self.remat_bottleneck)
         x = blk["conv"](self.conv_dim, 7, 1, 3)(x)
         dim = self.conv_dim
         for _ in range(self.n_down):
             x = blk["conv"](dim * 2, self.k_size, 2, 1)(x)
             dim *= 2
         for _ in range(self.repeat_num):
-            x = blk["res"](dim)(x)
+            x = blk_mid["res"](dim)(x)
         for _ in range(self.n_down):
             x = blk["upconv"](dim // 2, self.k_size)(x)
             dim //= 2
@@ -265,6 +271,7 @@ class ResUnetGenerator(nn.Module):
     spade_layers: Sequence[int] = (0, 0, 0, 0)
     on_obj: bool = False
     remat: bool = True
+    remat_bottleneck: bool = True
 
     def setup(self):
         blk = _blocks(self.remat)
@@ -278,6 +285,9 @@ class ResUnetGenerator(nn.Module):
             dim *= 2
         self.encoders = enc
 
+        # see ResNetGenerator: bottleneck activations are 1/64 the pixels
+        # of the full-res layers — selective remat keeps them
+        blk_mid = _blocks(self.remat and self.remat_bottleneck)
         res = []
         for i in range(self.repeat_num):
             use_spade = (
@@ -286,7 +296,7 @@ class ResUnetGenerator(nn.Module):
                 else self.spade_layers[2]
             )
             res.append(
-                blk["spade_res"](dim) if use_spade else blk["res"](dim)
+                blk_mid["spade_res"](dim) if use_spade else blk_mid["res"](dim)
             )
         self.resnets = res
 
@@ -386,28 +396,34 @@ class Generator(nn.Module):
     attn_layers: Sequence[int] = ()
     n_down: int = 3
     remat: bool = True
+    remat_bottleneck: bool = True
 
     def setup(self):
+        rb = self.remat_bottleneck
         self.bg_model = ResNetGenerator(
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
-            n_down=self.n_down, remat=self.remat,
+            n_down=self.n_down, remat=self.remat, remat_bottleneck=rb,
         )
         self.obj_model = ResUnetGenerator(
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
             n_down=self.n_down, spade_layers=self.spade_layers, on_obj=True,
-            remat=self.remat,
+            remat=self.remat, remat_bottleneck=rb,
         )
         self.src_model = ResUnetGenerator(
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
             n_down=self.n_down, spade_layers=self.spade_layers,
-            remat=self.remat,
+            remat=self.remat, remat_bottleneck=rb,
         )
         self.tsf_model = ResUnetGenerator(
             conv_dim=self.conv_dim, repeat_num=self.repeat_num, k_size=3,
             n_down=self.n_down, spade_layers=self.spade_layers,
-            remat=self.remat,
+            remat=self.remat, remat_bottleneck=rb,
         )
-        attn_cls = _remat(ExtractorAttn) if self.remat else ExtractorAttn
+        # attention layers run at encoder/bottleneck resolutions; their
+        # recompute is gather-heavy, so selective remat exempts them too
+        attn_cls = (
+            _remat(ExtractorAttn) if (self.remat and rb) else ExtractorAttn
+        )
         self.attns = {
             str(l): attn_cls(kernel_size=5, name=f"attn_{l}")
             for l in self.attn_layers

@@ -69,6 +69,62 @@ def grid_sample(
     return out.reshape(n, c, ho, wo)
 
 
+def grid_sample_packed(
+    image: jax.Array, grid: jax.Array, align_corners: bool = False
+) -> jax.Array:
+    """`grid_sample`, TPU-tuned: ONE wide-row gather instead of four.
+
+    TPU gathers are issue-rate-bound on narrow rows (each fetched row of a
+    3-channel image is 12 bytes). This packs the 2x2 bilinear footprint
+    into rows of 4C up front (zero-padded, so out-of-range corners read 0
+    exactly like padding_mode='zeros'), then fetches each output pixel
+    with a single row gather. Identical values to `grid_sample`; ~4x fewer
+    gather rows at 4x width. Worth it for small C (the conditioning
+    texture warps); for wide-C images the plain version is already wide.
+
+    image (N, C, H, W); grid (N, Ho, Wo, 2) -> (N, C, Ho, Wo).
+    """
+    n, c, h, w = image.shape
+    gx = _unnormalize(grid[..., 0].astype(jnp.float32), w, align_corners)
+    gy = _unnormalize(grid[..., 1].astype(jnp.float32), h, align_corners)
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    tx = gx - x0
+    ty = gy - y0
+
+    # packed[i, j] = [img[i,j], img[i,j+1], img[i+1,j], img[i+1,j+1]],
+    # zero-padded; defined for i in [-1, H], j in [-1, W] (shifted by +1)
+    imp = jnp.pad(
+        image.transpose(0, 2, 3, 1), ((0, 0), (1, 1), (1, 1), (0, 0))
+    )  # (N, H+2, W+2, C)
+    packed = jnp.concatenate(
+        [
+            imp[:, :-1, :-1], imp[:, :-1, 1:],
+            imp[:, 1:, :-1], imp[:, 1:, 1:],
+        ],
+        axis=-1,
+    ).reshape(n, (h + 1) * (w + 1), 4 * c)
+
+    # any base with at least one in-range corner lies in [-1, size-1];
+    # fully out-of-range bases gather garbage that the zero weights kill
+    yb = jnp.clip(y0, -1, h - 1).astype(jnp.int32) + 1
+    xb = jnp.clip(x0, -1, w - 1).astype(jnp.int32) + 1
+    idx = (yb * (w + 1) + xb).reshape(n, -1, 1)
+    rows = jnp.take_along_axis(packed, idx, axis=1)  # (N, P, 4C)
+
+    ho, wo = grid.shape[1], grid.shape[2]
+    rows = rows.reshape(n, ho, wo, 4, c)
+    wgt = []
+    for dy, wyv in ((0, 1.0 - ty), (1, ty)):
+        ok_y = (y0 + dy >= 0) & (y0 + dy <= h - 1)
+        for dx, wxv in ((0, 1.0 - tx), (1, tx)):
+            ok_x = (x0 + dx >= 0) & (x0 + dx <= w - 1)
+            wgt.append(jnp.where(ok_y & ok_x, wyv * wxv, 0.0))
+    wgt = jnp.stack(wgt, axis=-1)[..., None].astype(image.dtype)  # (N,Ho,Wo,4,1)
+    out = jnp.sum(rows * wgt, axis=3)  # (N, Ho, Wo, C)
+    return out.transpose(0, 3, 1, 2)
+
+
 def _resize_axis_linear_ac(x: jax.Array, axis: int, out_size: int) -> jax.Array:
     """1-D linear resize along `axis` with align_corners=True."""
     in_size = x.shape[axis]

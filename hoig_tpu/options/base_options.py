@@ -71,6 +71,11 @@ class BaseOptions:
                        help="run network compute in bfloat16")
         p.add_argument("--no_remat", action="store_true",
                        help="disable activation rematerialization")
+        p.add_argument("--remat_bottleneck", action="store_true",
+                       help="force rematerialization of the 1/8-res "
+                            "bottleneck blocks too (lowest memory). Default: "
+                            "full remat in fp32; under --bf16 the bottleneck "
+                            "activations are kept (faster, fits HBM)")
         p.add_argument("--platform", type=str, default=None,
                        help="force a JAX platform (cpu/tpu); this environment "
                             "auto-selects the TPU plugin otherwise")

@@ -122,6 +122,13 @@ def train_config_from_opt(opt) -> TrainConfig:
         repeat_num=opt.repeat_num,
         conv_dim=getattr(opt, "conv_dim", 64),
         remat=not getattr(opt, "no_remat", False),
+        # selective remat (keep 1/8-res bottleneck activations) fits HBM only
+        # under bf16 at the flagship 256px/batch-4 config; fp32 needs the
+        # full-remat memory envelope. --remat_bottleneck forces full remat.
+        remat_bottleneck=(
+            getattr(opt, "remat_bottleneck", False)
+            or not getattr(opt, "bf16", False)
+        ),
         image_size=opt.image_size,
         d_norm_type=opt.norm_type,
         lr_G=getattr(opt, "lr_G", 2e-4),

@@ -73,6 +73,11 @@ class TrainConfig:
     mask_bce: bool = True
     train_G_every_n_iterations: int = 1
     remat: bool = True
+    # selective remat: keep bottleneck (1/8-res) activations, recompute only
+    # the full-res encoder/decoder conv blocks — the bottleneck's activations
+    # are 1/64 the pixels but >40% of the recompute FLOPs + the attention
+    # gathers. False = faster, slightly more HBM.
+    remat_bottleneck: bool = True
     compute_dtype: Any = jnp.float32
 
 
@@ -102,6 +107,7 @@ def build_networks(cfg: TrainConfig):
         conv_dim=cfg.conv_dim,
         repeat_num=cfg.repeat_num,
         remat=cfg.remat,
+        remat_bottleneck=cfg.remat_bottleneck,
     )
     d = NetworksFactory.get_by_name(
         "discriminator_patch_gan",

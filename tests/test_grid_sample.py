@@ -70,3 +70,16 @@ def test_avg_pool_matches_torch(rng):
     ours = np.asarray(avg_pool(jnp.asarray(img), 2))
     theirs = F.avg_pool2d(torch.from_numpy(img), 2).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_packed_matches_plain(rng, align_corners):
+    """The packed single-gather variant is value-identical to grid_sample
+    (incl. zero padding of out-of-range corners)."""
+    from hoig_tpu.ops.grid_sample import grid_sample_packed
+
+    img = jnp.asarray(rng.randn(2, 3, 9, 13).astype(np.float32))
+    grid = jnp.asarray((rng.rand(2, 7, 5, 2) * 3.0 - 1.5).astype(np.float32))
+    a = grid_sample(img, grid, align_corners=align_corners)
+    b = grid_sample_packed(img, grid, align_corners=align_corners)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -159,8 +159,13 @@ def main():
     # headline: fp32 train step (production path), then bf16
     value = bench_step("train_fp32", TrainConfig(image_size=S))
     try:
+        # production bf16 path: selective remat (bottleneck activations kept)
+        # fits HBM under bf16 and is the fastest known config
         bf16 = bench_step(
-            "train_bf16", TrainConfig(image_size=S, compute_dtype=jnp.bfloat16)
+            "train_bf16",
+            TrainConfig(
+                image_size=S, compute_dtype=jnp.bfloat16, remat_bottleneck=False
+            ),
         )
         details["bf16_speedup"] = round(bf16 / value, 3)
     except Exception as e:

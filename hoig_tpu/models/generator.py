@@ -38,7 +38,6 @@ from hoig_tpu.models.layers import (
     conv,
     conv_init,
 )
-from hoig_tpu.ops.block_extractor import block_extractor_nhwc, local_attn_reshape_nhwc
 from hoig_tpu.ops.grid_sample import (
     _resize_axis_linear_ac,
     grid_sample_nhwc,
@@ -462,8 +461,11 @@ class Generator(nn.Module):
         src_bg = cat([src_bg, src_armask])
         tsf_bg = cat([tsf_bg, tsf_armask])
 
-        src_img_bg = self.bg_model(src_bg)
-        tsf_img_bg = self.bg_model(tsf_bg)
+        # same params for both passes -> one call at 2B batch (InstanceNorm
+        # is per-sample, so values are identical to two separate calls;
+        # doubling the batch roughly halves the small-batch conv overhead)
+        bg_both = self.bg_model(jnp.concatenate([src_bg, tsf_bg], axis=0))
+        src_img_bg, tsf_img_bg = jnp.split(bg_both, 2, axis=0)
 
         (src_obj, src_hand, src_mask_bg, src_mask_hand,
          tsf_obj, tsf_hand, tsf_mask_bg, tsf_mask_hand) = self.infer_front(
@@ -496,8 +498,14 @@ class Generator(nn.Module):
             layer = i + self.n_down + 1
             tsf_x = tsf_x + self._transform(src_x, T, y=tsf_x, layer=layer)
 
-        src_y = self.obj_model(src_obj_inputs, src_obj_conds)
-        tsf_y = self.obj_model(tsf_obj_inputs, tsf_obj_conds)
+        # obj branch shares params across src/tsf -> one 2B-batch pass
+        obj_in = jnp.concatenate([src_obj_inputs, tsf_obj_inputs], axis=0)
+        obj_seg = (
+            None if src_obj_conds is None
+            else jnp.concatenate([src_obj_conds, tsf_obj_conds], axis=0)
+        )
+        y_both = self.obj_model(obj_in, obj_seg)
+        src_y, tsf_y = jnp.split(y_both, 2, axis=0)
         seg_dec = src_hand_conds if self.spade_layers[3] else None
         src_x = self.src_model.decode(src_x, src_outs, seg_dec)
         tsf_x = self.tsf_model.decode(
@@ -505,7 +513,7 @@ class Generator(nn.Module):
         )
         src_hand, src_mask_hand, src_mask_bg = self.src_model.regress(src_x, src_y)
         tsf_hand, tsf_mask_hand, tsf_mask_bg = self.tsf_model.regress(tsf_x, tsf_y)
-        src_obj = self.obj_model.regress(src_y)
-        tsf_obj = self.obj_model.regress(tsf_y)
+        obj_both = self.obj_model.regress(y_both)
+        src_obj, tsf_obj = jnp.split(obj_both, 2, axis=0)
         return (src_obj, src_hand, src_mask_bg, src_mask_hand,
                 tsf_obj, tsf_hand, tsf_mask_bg, tsf_mask_hand)

@@ -36,6 +36,8 @@ class Vgg19Features(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array):
+        from hoig_tpu.models.layers import compute_dtype
+
         outs = []
         conv_i = 0
         # slice_ids [2, 7, 12, 21, 30] cut after the ReLU of torchvision
@@ -46,7 +48,8 @@ class Vgg19Features(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
             pre = nn.Conv(
-                item, (3, 3), padding=((1, 1), (1, 1)), name=f"conv_{conv_i}"
+                item, (3, 3), padding=((1, 1), (1, 1)), name=f"conv_{conv_i}",
+                dtype=compute_dtype(),
             )(x)
             x = nn.relu(pre)
             conv_i += 1
@@ -99,5 +102,8 @@ def vgg_perceptual_loss(model, params, x: jax.Array, y: jax.Array) -> jax.Array:
     fy = model.apply(params, jax.lax.stop_gradient(y))
     loss = 0.0
     for w, a, b in zip(VGG_LOSS_WEIGHTS, fx, fy):
-        loss = loss + w * jnp.mean(jnp.abs(a - jax.lax.stop_gradient(b)))
+        # features may be bf16 under the compute dtype; accumulate in f32
+        loss = loss + w * jnp.mean(
+            jnp.abs(a - jax.lax.stop_gradient(b)), dtype=jnp.float32
+        )
     return loss

@@ -67,7 +67,13 @@ def main():
     details = {"batch": B, "image_size": S, "n_chips": n_chips,
                "device": str(jax.devices()[0])}
 
-    def bench_step(tag, tcfg, n_iter=10):
+    def bench_step(tag, tcfg, n_iter=10, b=None):
+        B_ = b or B
+        bt = batch if B_ == B else {
+            k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
+                else jnp.asarray(v))
+            for k, v in synthetic_batch(B_, obj_verts, image_size=S).items()
+        }
         g, d = build_networks(tcfg)
         vgg = Vgg19Features()
         rng = jax.random.PRNGKey(0)
@@ -80,26 +86,26 @@ def main():
             )
             return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
 
-        shapes = jax.eval_shape(gkw_of, batch)
+        shapes = jax.eval_shape(gkw_of, bt)
         gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
                for k, v in shapes.items()}
         state = init_state(
-            rng, g, d, tcfg, gkw, jnp.zeros((B, S, S, tcfg.d_input_nc))
+            rng, g, d, tcfg, gkw, jnp.zeros((B_, S, S, tcfg.d_input_nc))
         )
         step = jax.jit(
             make_train_step(g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg),
             donate_argnums=(0,),
         )
         t0 = time.time()
-        state, _ = step(state, batch, jnp.asarray(True))
+        state, _ = step(state, bt, jnp.asarray(True))
         jax.block_until_ready(state.step)
         details[f"{tag}_compile_s"] = round(time.time() - t0, 1)
         t0 = time.time()
         for _ in range(n_iter):
-            state, metrics = step(state, batch, jnp.asarray(True))
+            state, metrics = step(state, bt, jnp.asarray(True))
         jax.block_until_ready(state.step)
         dt = time.time() - t0
-        ips = B * n_iter / dt / n_chips
+        ips = B_ * n_iter / dt / n_chips
         details[f"{tag}_step_ms"] = round(dt / n_iter * 1e3, 2)
         details[f"{tag}_images_per_sec_per_chip"] = round(ips, 3)
         log(f"{tag}: {ips:.3f} img/s/chip ({dt/n_iter*1e3:.1f} ms/step)")
@@ -168,6 +174,14 @@ def main():
             ),
         )
         details["bf16_speedup"] = round(bf16 / value, 3)
+        # per-chip batch 8 (e.g. reference's global batch 32 on 4 chips)
+        bench_step(
+            "train_bf16_b8",
+            TrainConfig(
+                image_size=S, compute_dtype=jnp.bfloat16, remat_bottleneck=False
+            ),
+            b=8,
+        )
     except Exception as e:
         log(f"bf16 bench failed: {e}")
 

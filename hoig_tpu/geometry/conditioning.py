@@ -152,18 +152,23 @@ def hand_recovery_flow(
       input_G_src_hand / input_G_tsf_hand (B, 3+3, S, S)
       T_hand (B, S, S, 2), masks, conds.
     """
-    src_info = get_details(mano_params, src_theta, cfg)
-    ref_info = get_details(mano_params, ref_theta, cfg)
-    obj_ids = src_info["obj_id"]
-
-    src_f2pts, src_fim, src_wim = rend.render_fim_wim(
-        tables, src_info["cam"], src_info["verts"], obj_ids,
+    # src and ref run the identical geometry pipeline: stack them into one
+    # 2B pass (one MANO forward, one rasterization) and split after — the
+    # reference runs each per-sample in python (trainer.py:63-97)
+    both_theta = jax.tree.map(
+        lambda a, b: jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], axis=0),
+        dict(src_theta), dict(ref_theta),
+    )
+    both_info = get_details(mano_params, both_theta, cfg)
+    obj_ids2 = both_info["obj_id"]
+    both_f2pts, both_fim, both_wim = rend.render_fim_wim(
+        tables, both_info["cam"], both_info["verts"], obj_ids2,
         cfg.image_size, cfg.camera_model,
     )
-    ref_f2pts, ref_fim, ref_wim = rend.render_fim_wim(
-        tables, ref_info["cam"], ref_info["verts"], obj_ids,
-        cfg.image_size, cfg.camera_model,
-    )
+    src_f2pts, ref_f2pts = jnp.split(both_f2pts, 2, axis=0)
+    src_fim, ref_fim = jnp.split(both_fim, 2, axis=0)
+    src_wim, ref_wim = jnp.split(both_wim, 2, axis=0)
+    obj_ids = obj_ids2[: src_img.shape[0]]
 
     # one fused wide-row gather per side replaces the reference's separate
     # encode_fim / encode_sem / sample_from_texture_dense / cal_bc fetches

@@ -23,12 +23,16 @@ class TBVisualizer:
         self._tb_path = os.path.join(self._save_path, "events")
         self._summary = {}
         self._summary_path = os.path.join(self._save_path, "summary.json")
-        try:
-            from tensorboardX import SummaryWriter
+        self._writer = None
+        for mod in ("tensorboardX", "torch.utils.tensorboard"):
+            try:
+                import importlib
 
-            self._writer = SummaryWriter(self._save_path)
-        except Exception:
-            self._writer = None
+                SummaryWriter = importlib.import_module(mod).SummaryWriter
+                self._writer = SummaryWriter(self._save_path)
+                break
+            except Exception:
+                continue
         with open(self._log_path, "a") as fp:
             now = time.strftime("%c")
             fp.write(f"================ Training Loss ({now}) ================\n")

@@ -396,6 +396,10 @@ class Generator(nn.Module):
     n_down: int = 3
     remat: bool = True
     remat_bottleneck: bool = True
+    # the attention layers' residuals (36 corner gathers each) are far
+    # bigger than the conv activations; remat them independently so
+    # "keep bottleneck convs, recompute attention" is expressible
+    remat_attn: bool = True
 
     def setup(self):
         rb = self.remat_bottleneck
@@ -418,10 +422,10 @@ class Generator(nn.Module):
             n_down=self.n_down, spade_layers=self.spade_layers,
             remat=self.remat, remat_bottleneck=rb,
         )
-        # attention layers run at encoder/bottleneck resolutions; their
-        # recompute is gather-heavy, so selective remat exempts them too
         attn_cls = (
-            _remat(ExtractorAttn) if (self.remat and rb) else ExtractorAttn
+            _remat(ExtractorAttn)
+            if (self.remat and (rb or self.remat_attn))
+            else ExtractorAttn
         )
         self.attns = {
             str(l): attn_cls(kernel_size=5, name=f"attn_{l}")

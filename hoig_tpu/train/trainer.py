@@ -78,6 +78,10 @@ class TrainConfig:
     # are 1/64 the pixels but >40% of the recompute FLOPs + the attention
     # gathers. False = faster, slightly more HBM.
     remat_bottleneck: bool = True
+    # attention residuals (36 corner gathers/layer) dwarf conv activations;
+    # kept independently rematerializable so fp32 can keep bottleneck conv
+    # activations while still recomputing attention.
+    remat_attn: bool = True
     compute_dtype: Any = jnp.float32
 
 
@@ -108,6 +112,7 @@ def build_networks(cfg: TrainConfig):
         repeat_num=cfg.repeat_num,
         remat=cfg.remat,
         remat_bottleneck=cfg.remat_bottleneck,
+        remat_attn=cfg.remat_attn,
     )
     d = NetworksFactory.get_by_name(
         "discriminator_patch_gan",

@@ -211,3 +211,35 @@ def test_dataloader_batches():
     assert batches[0]["x"].shape == (3, 2)
     assert batches[0]["nested"]["y"].shape == (3,)
     assert batches[0]["name"] == ["s0", "s1", "s2"]
+
+
+@pytest.mark.parametrize("rb,ra", [(False, True), (False, False)])
+def test_selective_remat_configs_match_full_remat(setup, rb, ra):
+    """Selective-remat variants (keep bottleneck activations / keep
+    attention residuals) produce the same params as full remat — remat
+    must never change values or checkpoint keys."""
+    s = setup
+    tcfg = TrainConfig(image_size=S, conv_dim=8, repeat_num=2, remat=True,
+                       remat_bottleneck=rb, remat_attn=ra)
+    g, d = build_networks(tcfg)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(rng, g, d, tcfg, s["gkw"],
+                       jnp.zeros((2, S, S, tcfg.d_input_nc)))
+    # identical param tree (keys AND values) as the remat=False fixture
+    ref_flat = jax.tree_util.tree_leaves_with_path(s["state"].params_g)
+    new_flat = jax.tree_util.tree_leaves_with_path(state.params_g)
+    assert [p for p, _ in ref_flat] == [p for p, _ in new_flat]
+    for (_, a), (_, b) in zip(ref_flat, new_flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    step = jax.jit(
+        make_train_step(g, d, s["vgg"], s["vgg_params"], s["tables"],
+                        s["mano_params"], s["ccfg"], tcfg)
+    )
+    st1, m1 = step(state, s["batch"], jnp.asarray(True))
+    _, m0 = s["step"](s["state"], s["batch"], jnp.asarray(True))
+    # same loss values as the no-remat step (f32 compute either way)
+    np.testing.assert_allclose(
+        float(m1["loss_G"]), float(m0["loss_G"]), rtol=1e-4
+    )
+    assert np.isfinite(float(m1["loss_D"]))

@@ -132,3 +132,15 @@ def calculate_ssim_given_paths(paths, img_size: int = 256, batch_size: int = 1):
         float(np.concatenate(ssim_vals).mean()),
         float(np.concatenate(msssim_vals).mean()),
     )
+
+
+if __name__ == "__main__":
+    # reference ssim.py:61-66 runnable entry, with explicit dirs:
+    #   python -m hoig_tpu.metrics.ssim <dir_a> <dir_b> [img_size]
+    import sys
+
+    path1 = sys.argv[1] if len(sys.argv) > 1 else "imitators/"
+    path2 = sys.argv[2] if len(sys.argv) > 2 else "gt/"
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    s, ms = calculate_ssim_given_paths([path1, path2], img_size=size)
+    print(f"SSIM: {s}  MS-SSIM: {ms}")

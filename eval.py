@@ -69,7 +69,9 @@ def main(argv=None):
     s = opt.image_size
     for i_val_batch, val_batch in enumerate(dataset):
         model.set_input(val_batch)
-        model.forward(keep_data_for_visuals=True)
+        # generation only — skip the eval-loss graph (D + VGG passes);
+        # nothing here reads get_current_errors()
+        model.forward(keep_data_for_visuals=True, compute_losses=False)
         visuals = model.get_current_visuals()
         cols = visuals["14_batch_real_img"].shape[1] // s
         for i in range(len(val_batch["nameA"])):

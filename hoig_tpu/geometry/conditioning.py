@@ -160,7 +160,11 @@ def hand_recovery_flow(
         dict(src_theta), dict(ref_theta),
     )
     both_info = get_details(mano_params, both_theta, cfg)
-    obj_ids2 = both_info["obj_id"]
+    # the SOURCE object identity drives every per-object table for both
+    # halves (reference keys everything off the src objname,
+    # trainer.py:58-60; pairs come from one video so they normally agree)
+    obj_ids = both_info["obj_id"][: src_img.shape[0]]
+    obj_ids2 = jnp.concatenate([obj_ids, obj_ids], axis=0)
     both_f2pts, both_fim, both_wim = rend.render_fim_wim(
         tables, both_info["cam"], both_info["verts"], obj_ids2,
         cfg.image_size, cfg.camera_model,
@@ -168,7 +172,6 @@ def hand_recovery_flow(
     src_f2pts, ref_f2pts = jnp.split(both_f2pts, 2, axis=0)
     src_fim, ref_fim = jnp.split(both_fim, 2, axis=0)
     src_wim, ref_wim = jnp.split(both_wim, 2, axis=0)
-    obj_ids = obj_ids2[: src_img.shape[0]]
 
     # one fused wide-row gather per side replaces the reference's separate
     # encode_fim / encode_sem / sample_from_texture_dense / cal_bc fetches

@@ -129,9 +129,6 @@ def _bpm_single(fv, valid, fim, alpha, g_alpha, rgb, g_rgb, *,
 
     d1_axis = jnp.arange(s, dtype=jnp.float32)  # transverse coordinate
 
-    gA = g_alpha if use_alpha else None
-    gR = g_rgb if use_rgb else None
-
     def body(d0i, acc):
         d0 = d0i.astype(jnp.float32)
         active = lane_ok[:, None, None] & (d0 >= d0_from) & (d0 <= d0_to)

@@ -139,18 +139,32 @@ class HOIGModel:
         self._dp = DataParallel(step_fn, make_data_mesh(devices[:n_use]))
         self._state = self._dp.replicate(self._state)
 
+        # the no-update forward/eval paths run on the SAME data mesh as
+        # training (the validation loader feeds the device-scaled
+        # per-process batch; concentrating it on one chip would 4x the val
+        # latency/memory on a 4-chip host)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self._dp.mesh, P())
+        shard = NamedSharding(self._dp.mesh, P("data"))
         self._flow_fn = jax.jit(
             functools.partial(
                 _flow_only, tables=tables, mano_params=mano_params, ccfg=self._ccfg
-            )
+            ),
+            in_shardings=(shard,),
+            out_shardings=shard,
         )
         self._fwd_fn = jax.jit(
-            functools.partial(_forward_only, model=self._G, tcfg=self._tcfg)
+            functools.partial(_forward_only, model=self._G, tcfg=self._tcfg),
+            in_shardings=(repl, shard, shard),
+            out_shardings=shard,
         )
         self._eval_fn = jax.jit(
             make_eval_metrics(
                 self._G, self._D, self._vgg, self._vgg_params, self._tcfg
-            )
+            ),
+            in_shardings=(repl, repl, shard, shard),
+            out_shardings=(shard, repl),
         )
 
         # load networks (reference __init__ tail, trainer.py:206-210)

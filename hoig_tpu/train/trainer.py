@@ -169,6 +169,70 @@ def composite(outs):
     return fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh
 
 
+def _forward_and_g_losses(
+    g_model, d_model, vgg_loss, tcfg: TrainConfig, params_g, params_d, flow,
+    batch,
+):
+    """Generator forward + the full G-side loss graph.
+
+    ONE implementation shared by the train step and the eval-metrics path
+    so the validation scalars can never drift from the trained objective
+    (reference trainer.py:437-486 semantics).
+
+    Returns (fakes, total, parts, d_fake_map) where fakes =
+    (fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh).
+    """
+    mask_crt = bce_loss if tcfg.mask_bce else mse_loss
+    armask_src = batch.get("maskA") if tcfg.use_armask else None
+    armask_tsf = batch.get("maskB") if tcfg.use_armask else None
+    kwargs = generator_kwargs(flow, armask_src, armask_tsf, tcfg.use_spade)
+    outs = g_model.apply(params_g, **kwargs)
+    # losses always in f32 regardless of the conv compute dtype
+    outs = jax.tree.map(lambda o: o.astype(jnp.float32), outs)
+    fakes = composite(outs)
+    fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = fakes
+
+    real_src = _nhwc(batch["imageA"])
+    real_tsf = _nhwc(batch["imageB"])
+
+    d_in_fake = jnp.concatenate([fake_tsf, _d_cond(flow, armask_tsf)], axis=-1)
+    d_fake = d_model.apply(params_d, d_in_fake)
+
+    loss_adv = lsgan_loss(d_fake, 0.0) * tcfg.lambda_D_prob
+    loss_rec = l1_loss(fake_src, real_src) * tcfg.lambda_rec
+    if tcfg.use_vgg:
+        loss_tsf = vgg_loss(fake_tsf, real_tsf) * tcfg.lambda_tsf
+    else:
+        loss_tsf = l1_loss(fake_tsf, real_tsf) * tcfg.lambda_tsf
+
+    masks_bg = jnp.concatenate([src_mbg, tsf_mbg], axis=0)
+    masks_hand = jnp.concatenate([src_mh, tsf_mh], axis=0)
+    tgt_bg = jnp.concatenate(
+        [_nhwc(flow["src_crop_mask_bg"]), _nhwc(flow["tsf_crop_mask_bg"])], axis=0
+    )
+    tgt_hand = jnp.concatenate(
+        [_nhwc(flow["src_crop_mask_hand"]), _nhwc(flow["tsf_crop_mask_hand"])],
+        axis=0,
+    )
+    loss_mask = (
+        mask_crt(masks_bg, jax.lax.stop_gradient(tgt_bg))
+        + mask_crt(masks_hand, jax.lax.stop_gradient(tgt_hand))
+    ) * tcfg.lambda_mask
+    loss_mask_smooth = (
+        tv_smooth_loss(masks_bg) + tv_smooth_loss(masks_hand)
+    ) * tcfg.lambda_mask_smooth
+
+    total = loss_adv + loss_rec + loss_tsf + loss_mask + loss_mask_smooth
+    parts = {
+        "g_adv": loss_adv,
+        "g_rec": loss_rec,
+        "g_tsf": loss_tsf,
+        "g_mask": loss_mask,
+        "g_mask_smooth": loss_mask_smooth,
+    }
+    return fakes, total, parts, d_fake
+
+
 def _d_cond(flow: dict, armask_tsf) -> jax.Array:
     """D conditioning channels: tsf obj cond ++ tsf hand cond ++ armask
     (trainer.py:437,460-462), NHWC."""
@@ -196,66 +260,17 @@ def make_train_step(
     """
     opt_g = optax.adam(_lr_placeholder, b1=tcfg.adam_b1, b2=tcfg.adam_b2)
     opt_d = optax.adam(_lr_placeholder, b1=tcfg.adam_b1, b2=tcfg.adam_b2)
-    mask_crt = bce_loss if tcfg.mask_bce else mse_loss
-
-    def forward_g(params_g, flow, batch):
-        armask_src = batch.get("maskA") if tcfg.use_armask else None
-        armask_tsf = batch.get("maskB") if tcfg.use_armask else None
-        kwargs = generator_kwargs(flow, armask_src, armask_tsf, tcfg.use_spade)
-        outs = g_model.apply(params_g, **kwargs)
-        # losses always in f32 regardless of the conv compute dtype
-        outs = jax.tree.map(lambda o: o.astype(jnp.float32), outs)
-        return composite(outs)
 
     vgg_loss_ckpt = jax.checkpoint(
         lambda x, y: vgg_perceptual_loss(vgg_model, vgg_params, x, y)
     )
 
     def g_loss_fn(params_g, params_d, flow, batch):
-        fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = forward_g(
-            params_g, flow, batch
+        fakes, total, parts, _ = _forward_and_g_losses(
+            g_model, d_model, vgg_loss_ckpt, tcfg, params_g, params_d, flow,
+            batch,
         )
-        real_src = _nhwc(batch["imageA"])
-        real_tsf = _nhwc(batch["imageB"])
-        armask_tsf = batch.get("maskB") if tcfg.use_armask else None
-
-        d_in_fake = jnp.concatenate([fake_tsf, _d_cond(flow, armask_tsf)], axis=-1)
-        d_fake = d_model.apply(params_d, d_in_fake)
-
-        loss_adv = lsgan_loss(d_fake, 0.0) * tcfg.lambda_D_prob
-        loss_rec = l1_loss(fake_src, real_src) * tcfg.lambda_rec
-        if tcfg.use_vgg:
-            loss_tsf = vgg_loss_ckpt(fake_tsf, real_tsf) * tcfg.lambda_tsf
-        else:
-            loss_tsf = l1_loss(fake_tsf, real_tsf) * tcfg.lambda_tsf
-
-        masks_bg = jnp.concatenate([src_mbg, tsf_mbg], axis=0)
-        masks_hand = jnp.concatenate([src_mh, tsf_mh], axis=0)
-        tgt_bg = jnp.concatenate(
-            [_nhwc(flow["src_crop_mask_bg"]), _nhwc(flow["tsf_crop_mask_bg"])], axis=0
-        )
-        tgt_hand = jnp.concatenate(
-            [_nhwc(flow["src_crop_mask_hand"]), _nhwc(flow["tsf_crop_mask_hand"])],
-            axis=0,
-        )
-        loss_mask = (
-            mask_crt(masks_bg, jax.lax.stop_gradient(tgt_bg))
-            + mask_crt(masks_hand, jax.lax.stop_gradient(tgt_hand))
-        ) * tcfg.lambda_mask
-        loss_mask_smooth = (
-            tv_smooth_loss(masks_bg) + tv_smooth_loss(masks_hand)
-        ) * tcfg.lambda_mask_smooth
-
-        total = loss_adv + loss_rec + loss_tsf + loss_mask + loss_mask_smooth
-        aux = {
-            "g_adv": loss_adv,
-            "g_rec": loss_rec,
-            "g_tsf": loss_tsf,
-            "g_mask": loss_mask,
-            "g_mask_smooth": loss_mask_smooth,
-            "fake_tsf": fake_tsf,
-        }
-        return total, aux
+        return total, dict(parts, fake_tsf=fakes[1])
 
     def d_loss_fn(params_d, flow, batch, fake_tsf):
         armask_tsf = batch.get("maskB") if tcfg.use_armask else None
@@ -333,69 +348,31 @@ def make_train_step(
 def make_eval_metrics(g_model, d_model, vgg_model, vgg_params, tcfg: TrainConfig):
     """Returns eval_fn(params_g, params_d, flow, batch) -> (fakes, metrics).
 
-    The same loss graph as the train step, evaluated without gradients or
-    optimizer updates, so the validation loop can log *current* losses.
-    (The reference's val loop logs stale train errors because its forward
-    computes none, HOIG_HOv3/models/trainer.py:373-415 — knowingly fixed.)
+    The SAME loss graph as the train step (shared `_forward_and_g_losses`),
+    evaluated without gradients or optimizer updates, so the validation
+    loop logs *current* losses that cannot drift from the trained
+    objective. (The reference's val loop logs stale train errors because
+    its forward computes none, HOIG_HOv3/models/trainer.py:373-415 —
+    knowingly fixed.)
     fakes = (fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh).
     """
-    mask_crt = bce_loss if tcfg.mask_bce else mse_loss
 
     def eval_fn(params_g, params_d, flow, batch):
-        armask_src = batch.get("maskA") if tcfg.use_armask else None
+        fakes, _, parts, d_fake = _forward_and_g_losses(
+            g_model, d_model,
+            lambda x, y: vgg_perceptual_loss(vgg_model, vgg_params, x, y),
+            tcfg, params_g, params_d, flow, batch,
+        )
         armask_tsf = batch.get("maskB") if tcfg.use_armask else None
-        kwargs = generator_kwargs(flow, armask_src, armask_tsf, tcfg.use_spade)
-        outs = g_model.apply(params_g, **kwargs)
-        outs = jax.tree.map(lambda o: o.astype(jnp.float32), outs)
-        fakes = composite(outs)
-        fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = fakes
-
-        real_src = _nhwc(batch["imageA"])
-        real_tsf = _nhwc(batch["imageB"])
-        cond = _d_cond(flow, armask_tsf)
-        d_fake = d_model.apply(
-            params_d, jnp.concatenate([fake_tsf, cond], axis=-1)
-        )
         d_real = d_model.apply(
-            params_d, jnp.concatenate([real_tsf, cond], axis=-1)
+            params_d,
+            jnp.concatenate(
+                [_nhwc(batch["imageB"]), _d_cond(flow, armask_tsf)], axis=-1
+            ),
         )
-
-        loss_adv = lsgan_loss(d_fake, 0.0) * tcfg.lambda_D_prob
-        loss_rec = l1_loss(fake_src, real_src) * tcfg.lambda_rec
-        if tcfg.use_vgg:
-            loss_tsf = (
-                vgg_perceptual_loss(vgg_model, vgg_params, fake_tsf, real_tsf)
-                * tcfg.lambda_tsf
-            )
-        else:
-            loss_tsf = l1_loss(fake_tsf, real_tsf) * tcfg.lambda_tsf
-
-        masks_bg = jnp.concatenate([src_mbg, tsf_mbg], axis=0)
-        masks_hand = jnp.concatenate([src_mh, tsf_mh], axis=0)
-        tgt_bg = jnp.concatenate(
-            [_nhwc(flow["src_crop_mask_bg"]), _nhwc(flow["tsf_crop_mask_bg"])],
-            axis=0,
+        metrics = dict(
+            parts, d_real=jnp.mean(d_real), d_fake=jnp.mean(d_fake)
         )
-        tgt_hand = jnp.concatenate(
-            [_nhwc(flow["src_crop_mask_hand"]), _nhwc(flow["tsf_crop_mask_hand"])],
-            axis=0,
-        )
-        loss_mask = (
-            mask_crt(masks_bg, tgt_bg) + mask_crt(masks_hand, tgt_hand)
-        ) * tcfg.lambda_mask
-        loss_mask_smooth = (
-            tv_smooth_loss(masks_bg) + tv_smooth_loss(masks_hand)
-        ) * tcfg.lambda_mask_smooth
-
-        metrics = {
-            "g_adv": loss_adv,
-            "g_rec": loss_rec,
-            "g_tsf": loss_tsf,
-            "g_mask": loss_mask,
-            "g_mask_smooth": loss_mask_smooth,
-            "d_real": jnp.mean(d_real),
-            "d_fake": jnp.mean(d_fake),
-        }
         return fakes, metrics
 
     return eval_fn

@@ -77,16 +77,8 @@ def preflight_assets(opt, eval_pairs: str | None = None) -> None:
             "(DexYCB).",
         )
 
-    vgg = getattr(opt, "vgg_weights", None)
-    if getattr(opt, "use_vgg", False) and not (vgg and os.path.exists(vgg)):
-        # warn-only: training still runs, with a random-feature VGG loss
-        print(
-            "[preflight][warn] --use_vgg without a valid --vgg_weights: "
-            "perceptual loss will use deterministic random features. "
-            "Convert torchvision's vgg19 once:\n"
-            "  python scripts/convert_weights.py vgg19 <vgg19.pth> "
-            "assets/vgg19.npz"
-        )
+    # (--use_vgg without --vgg_weights is warned at the use site,
+    # model_api.HOIGModel.__init__ — training still runs)
 
     if missing:
         raise FileNotFoundError(

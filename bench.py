@@ -142,13 +142,16 @@ def main():
     fwd_j = jax.jit(fwd)
     flops_per_image = None
     try:
-        compiled = fwd_j.lower(params_g, batch).compile()
-        ca = compiled.cost_analysis()
+        # AOT-compile once; reuse the executable for timing (a separate
+        # fwd_j() call would compile a second identical program)
+        fwd_j = jax.jit(fwd).lower(params_g, batch).compile()
+        ca = fwd_j.cost_analysis()
         if ca and ca.get("flops"):
             flops_per_image = float(ca["flops"]) / B
             details["gen_fwd_flops_per_image"] = flops_per_image
     except Exception as e:  # cost analysis is best-effort on plugin backends
         log(f"cost_analysis unavailable: {e}")
+        fwd_j = jax.jit(fwd)
     out = fwd_j(params_g, batch)
     jax.block_until_ready(out)
     n = 20
@@ -166,28 +169,8 @@ def main():
         details["gen_fwd_tflops_per_sec"] = round(tf, 2)
         details["gen_fwd_mfu_vs_bf16_peak"] = round(tf * 1e12 / V5E_BF16_PEAK, 4)
 
-    # headline: fp32 train step (production path), then bf16
+    # headline: fp32 train step (production parity path)
     value = bench_step("train_fp32", TrainConfig(image_size=S))
-    try:
-        # production bf16 path: selective remat (bottleneck activations kept)
-        # fits HBM under bf16 and is the fastest known config
-        bf16 = bench_step(
-            "train_bf16",
-            TrainConfig(
-                image_size=S, compute_dtype=jnp.bfloat16, remat_bottleneck=False
-            ),
-        )
-        details["bf16_speedup"] = round(bf16 / value, 3)
-        # per-chip batch 8 (e.g. reference's global batch 32 on 4 chips)
-        bench_step(
-            "train_bf16_b8",
-            TrainConfig(
-                image_size=S, compute_dtype=jnp.bfloat16, remat_bottleneck=False
-            ),
-            b=8,
-        )
-    except Exception as e:
-        log(f"bf16 bench failed: {e}")
 
     # derived (clearly-labeled ESTIMATE) A100 baseline
     if flops_per_image:
@@ -208,9 +191,14 @@ def main():
         }
         vs = value / 2.0
 
-    with open("BENCH_DETAILS.json", "w") as fp:
-        json.dump(details, fp, indent=1)
-    log(json.dumps(details, indent=1))
+    def flush_details():
+        with open("BENCH_DETAILS.json", "w") as fp:
+            json.dump(details, fp, indent=1)
+
+    # print the ONE headline JSON line NOW — the remaining legs are extra
+    # diagnostics and each costs minutes of compile; a harness timeout
+    # must not lose the headline result
+    flush_details()
     print(
         json.dumps(
             {
@@ -219,8 +207,33 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    try:
+        # production bf16 path: selective remat (bottleneck activations kept)
+        # fits HBM under bf16 and is the fastest known config
+        bf16 = bench_step(
+            "train_bf16",
+            TrainConfig(
+                image_size=S, compute_dtype=jnp.bfloat16, remat_bottleneck=False
+            ),
+        )
+        details["bf16_speedup"] = round(bf16 / value, 3)
+        flush_details()
+        # per-chip batch 8 (e.g. reference's global batch 32 on 4 chips)
+        bench_step(
+            "train_bf16_b8",
+            TrainConfig(
+                image_size=S, compute_dtype=jnp.bfloat16, remat_bottleneck=False
+            ),
+            b=8,
+        )
+        flush_details()
+    except Exception as e:
+        log(f"bf16 bench failed: {e}")
+    log(json.dumps(details, indent=1))
 
 
 if __name__ == "__main__":

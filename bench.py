@@ -217,7 +217,8 @@ def main():
         bf16 = bench_step(
             "train_bf16",
             TrainConfig(
-                image_size=S, compute_dtype=jnp.bfloat16, remat_bottleneck=False
+                image_size=S, compute_dtype=jnp.bfloat16,
+                remat_bottleneck=False, remat_attn=False,
             ),
         )
         details["bf16_speedup"] = round(bf16 / value, 3)
@@ -226,7 +227,8 @@ def main():
         bench_step(
             "train_bf16_b8",
             TrainConfig(
-                image_size=S, compute_dtype=jnp.bfloat16, remat_bottleneck=False
+                image_size=S, compute_dtype=jnp.bfloat16,
+                remat_bottleneck=False, remat_attn=False,
             ),
             b=8,
         )

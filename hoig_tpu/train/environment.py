@@ -129,6 +129,12 @@ def train_config_from_opt(opt) -> TrainConfig:
             getattr(opt, "remat_bottleneck", False)
             or not getattr(opt, "bf16", False)
         ),
+        # under bf16 the attention residuals also fit: storing them beats
+        # recomputing the gathers (457 vs 512 ms measured, PERF.md)
+        remat_attn=(
+            getattr(opt, "remat_bottleneck", False)
+            or not getattr(opt, "bf16", False)
+        ),
         image_size=opt.image_size,
         d_norm_type=opt.norm_type,
         lr_G=getattr(opt, "lr_G", 2e-4),

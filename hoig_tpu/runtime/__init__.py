@@ -8,23 +8,33 @@ for what each kernel replaces in the reference.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
 import numpy as np
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
-_SO_PATH = os.path.join(_THIS_DIR, "libhoigwarp.so")
 _SRC_PATH = os.path.join(_THIS_DIR, "warp.cc")
 _LIB = None
 _TRIED = False
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    # The build artifact is keyed on a content hash of the source (git does
+    # not preserve mtimes, so mtime staleness checks are meaningless on
+    # fresh clones); a hash mismatch simply builds a new file. Binaries are
+    # never committed (.gitignore's *.so).
+    with open(_SRC_PATH, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_THIS_DIR, f"libhoigwarp-{digest}.so")
+
+
+def _build(so_path: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC_PATH,
-             "-o", _SO_PATH],
+             "-o", so_path],
             check=True,
             capture_output=True,
             timeout=120,
@@ -42,12 +52,11 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO_PATH) or (
-        os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
-    ):
-        if not _build():
+    so_path = _so_path()
+    if not os.path.exists(so_path):
+        if not _build(so_path):
             return None
-    lib = ctypes.CDLL(_SO_PATH)
+    lib = ctypes.CDLL(so_path)
     lib.hoig_warp_affine_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,

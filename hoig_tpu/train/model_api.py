@@ -45,15 +45,18 @@ class ModelsFactory:
 
 
 def _device_batch(batch: dict) -> dict:
+    # host-side numpy: placement happens at use time (DataParallel
+    # device_puts single-process; multi-host assembles global arrays from
+    # per-process shards, mesh.py shard_batch)
     keep = {"imageA", "imageB", "maskA", "maskB", "manoA", "manoB"}
     out = {}
     for k, v in batch.items():
         if k not in keep:
             continue
         out[k] = (
-            {kk: jnp.asarray(vv) for kk, vv in v.items() if not isinstance(vv, list)}
+            {kk: np.asarray(vv) for kk, vv in v.items() if not isinstance(vv, list)}
             if isinstance(v, dict)
-            else jnp.asarray(v)
+            else np.asarray(v)
         )
     return out
 
@@ -136,17 +139,30 @@ class HOIGModel:
             raise ValueError(
                 f"per-process batch {b} not divisible by {n_use} data devices"
             )
-        self._dp = DataParallel(step_fn, make_data_mesh(devices[:n_use]))
+        if self._is_train and jax.process_count() > 1:
+            # multi-host: the train-step mesh spans EVERY device of every
+            # process so the gradient all-reduce crosses hosts (reference
+            # DDP trains over all GPUs of all nodes, train_ddp.py:28-29);
+            # each process feeds its ShardedSampler shard of the global
+            # batch (mesh.py shard_batch)
+            train_mesh = make_data_mesh(jax.devices())
+        else:
+            train_mesh = make_data_mesh(devices[:n_use])
+        self._dp = DataParallel(step_fn, train_mesh)
         self._state = self._dp.replicate(self._state)
 
-        # the no-update forward/eval paths run on the SAME data mesh as
-        # training (the validation loader feeds the device-scaled
-        # per-process batch; concentrating it on one chip would 4x the val
-        # latency/memory on a 4-chip host)
+        # the no-update forward/eval paths run on the LOCAL data mesh (the
+        # validation loader feeds the device-scaled per-process batch;
+        # concentrating it on one chip would 4x the val latency/memory on a
+        # 4-chip host). Under multi-host this is rank-local validation —
+        # the reference's val loop likewise logs rank-0's local errors
+        # (train_ddp.py:126-162).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        repl = NamedSharding(self._dp.mesh, P())
-        shard = NamedSharding(self._dp.mesh, P("data"))
+        self._eval_mesh = make_data_mesh(devices[:n_use])
+        repl = NamedSharding(self._eval_mesh, P())
+        shard = NamedSharding(self._eval_mesh, P("data"))
+        self._eval_repl = repl
         self._flow_fn = jax.jit(
             functools.partial(
                 _flow_only, tables=tables, mano_params=mano_params, ccfg=self._ccfg
@@ -171,7 +187,7 @@ class HOIGModel:
         if getattr(opt, "load_path", None) not in (None, "None"):
             self._state = self._state.replace(
                 params_g=ckpt.load_generator_params(
-                    self._state.params_g, opt.load_path
+                    self._state.params_g, opt.load_path, tcfg=self._tcfg
                 )
             )
         elif (not self._is_train) or getattr(opt, "load_epoch", 0) > 0:
@@ -183,6 +199,7 @@ class HOIGModel:
         self._visuals_cache = {}
         self._batch = None
         self._flow = None
+        self._real_bs = 0
 
     # ------------------------------------------------------------- reference API
     @property
@@ -198,6 +215,20 @@ class HOIGModel:
     def set_input(self, batch: dict):
         self._batch = _device_batch(batch)
         self._flow = None  # conditioning is fused into the train step
+        # eval/val loaders run with drop_last=False; a final partial batch
+        # would violate the P("data") in_shardings on a multi-device mesh.
+        # Pad by replicating the last sample and slice outputs back to the
+        # real size (the duplicated samples weight the final batch's metric
+        # means slightly — confined to that one partial batch).
+        bs = int(jax.tree_util.tree_leaves(self._batch)[0].shape[0])
+        n = self._eval_mesh.size
+        self._real_bs = bs
+        if bs % n != 0:
+            pad = n - bs % n
+            rep = lambda x: np.concatenate(
+                [x] + [x[-1:]] * pad, axis=0
+            )
+            self._batch = jax.tree_util.tree_map(rep, self._batch)
 
     def forward(self, keep_data_for_visuals: bool = False, return_estimates: bool = False,
                 compute_losses: bool = True):
@@ -207,14 +238,17 @@ class HOIGModel:
         truthful (the reference's forward computes none and its val loop
         logs stale train errors, trainer.py:373-415 — knowingly fixed;
         pass compute_losses=False for the reference's cheaper behavior)."""
+        params_g, params_d = self._localized_params()
         self._flow = self._flow_fn(self._batch)
         if compute_losses:
             fakes, metrics = self._eval_fn(
-                self._state.params_g, self._state.params_d, self._flow, self._batch
+                params_g, params_d, self._flow, self._batch
             )
             self._errors = metrics
         else:
-            fakes = self._fwd_fn(self._state.params_g, self._flow, self._batch)
+            fakes = self._fwd_fn(params_g, self._flow, self._batch)
+        if self._real_bs != jax.tree_util.tree_leaves(self._batch)[0].shape[0]:
+            fakes = tuple(f[: self._real_bs] for f in fakes)
         fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = fakes
         if keep_data_for_visuals:
             self._keep_visuals(fake_src, fake_tsf, tsf_mbg, tsf_mh)
@@ -262,12 +296,32 @@ class HOIGModel:
         print(f"update D learning rate: {old:f} -> {float(self._state.lr_d):f}")
 
     # ------------------------------------------------------------------ helpers
+    def _localized_params(self):
+        """Params live on the (possibly multi-host) train mesh; the eval
+        paths run on the local mesh — copy the replicated values over
+        (no-op in single-process runs). Memoized per TrainState: a
+        validation loop converts once, not per batch."""
+        if not self._dp._multihost:
+            return self._state.params_g, self._state.params_d
+        if getattr(self, "_localize_src", None) is not self._state:
+            self._localize_src = self._state  # strong ref: identity stays valid
+            self._localize_val = jax.device_put(
+                (jax.tree.map(np.asarray, self._state.params_g),
+                 jax.tree.map(np.asarray, self._state.params_d)),
+                self._eval_repl,
+            )
+        return self._localize_val
+
     def _keep_visuals(self, fake_src, fake_tsf, tsf_mbg, tsf_mh):
         tochw = lambda x: np.asarray(x).transpose(0, 3, 1, 2)
-        batch = self._batch
+        # slice any pad replicas so every visual grid tiles the same count
+        sl = lambda t: jax.tree_util.tree_map(
+            lambda x: x[: self._real_bs], t
+        )
+        batch = sl(self._batch)
         vis = OrderedDict()
         vis["1_real_img"] = tensor2im(np.asarray(batch["imageA"]))
-        flow = self._flow
+        flow = sl(self._flow)
         vis["2_input_src_obj"] = tensor2im(np.asarray(flow["input_G_src_obj"][:, :3]))
         vis["2_input_src_hand"] = tensor2im(np.asarray(flow["input_G_src_hand"][:, :3]))
         vis["2_input_tsf_obj"] = tensor2im(np.asarray(flow["input_G_tsf_obj"][:, :3]))

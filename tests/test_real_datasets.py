@@ -360,3 +360,59 @@ def test_ycb_schema_into_conditioning(ycb_tree, env64):
     )
     assert shapes["T"].shape == (2, 64, 64, 2)
     assert shapes["input_G_tsf_hand"].shape[0] == 2
+
+
+def test_ycb_eval_entry_to_pngs(ycb_tree, env64, tmp_path, monkeypatch):
+    """Drive eval.py end-to-end in ycb mode: nested DexYCB video names
+    ("subject/seq/cam/frame") through the untiling + stem logic
+    (HOIG_DexYCB/eval.py:72-74 joins parts[:-1] with '_') to PNGs on disk.
+    Regression test for the r2 crash: `src_vid, src_frame = name.split("/")`
+    raised "too many values to unpack" on these names."""
+    import eval as eval_entry
+    from hoig_tpu.geometry.conditioning import ConditioningConfig
+
+    va = "20200709-subject-01/20200709_141754/932122060861"
+    vb = "20200813-subject-02/20200813_145653/932122060861"
+    pairs = [(f"{va}/0", f"{vb}/2"), (f"{vb}/1", f"{va}/3"),
+             (f"{va}/2", f"{vb}/0")]
+    # eval.py hardcodes pairs_dir relative to cwd like the reference
+    # (eval.py:32) — run from a tmp cwd carrying assets/eval_pairs.pkl
+    run_dir = tmp_path / "run"
+    (run_dir / "assets").mkdir(parents=True)
+    with open(run_dir / "assets" / "eval_pairs.pkl", "wb") as fp:
+        pickle.dump(pairs, fp)
+    monkeypatch.chdir(run_dir)
+
+    env = dict(
+        tables_np=env64["tables_np"], tables=env64["tables_np"].as_jax(),
+        mano=env64["mano"], mano_params=env64["mano"].as_jax(),
+        ccfg=ConditioningConfig(
+            image_size=64, camera_model="fxfy", mano_pca_comps=45,
+            mano_flat_hand_mean=False,
+        ),
+        is_ycb=True,
+    )
+    out_dir = str(tmp_path / "out")
+    eval_entry.main([
+        "--dataset_mode", "ycb", "--data_dir", ycb_tree["data_dir"],
+        "--params_dir", "params", "--images_dir", "images",
+        "--image_size", "64", "--batch_size", "2", "--num_repeats", "1",
+        "--conv_dim", "8", "--repeat_num", "2", "--no_remat", "--use_spade",
+        "--checkpoints_dir", str(tmp_path / "ck"), "--name", "t",
+        "--output_dir", out_dir,
+    ], env=env)
+
+    # 3 pairs at batch 2 -> final batch is partial (exercises the mesh
+    # padding path in set_input); every pair must land in all three trees
+    for src, tsf in pairs:
+        sp, tp = src.split("/"), tsf.split("/")
+        stem = f"{'_'.join(sp[:-1])}_{sp[-1]}_{tp[-1]}.png"
+        for sub in ("source", "imitators", "gt"):
+            path = os.path.join(out_dir, sub, stem)
+            assert os.path.exists(path), f"missing {path}"
+    import PIL.Image
+
+    im = PIL.Image.open(os.path.join(
+        out_dir, "imitators",
+        f"{'_'.join(va.split('/'))}_0_2.png"))
+    assert im.size == (64, 64)

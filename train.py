@@ -39,7 +39,19 @@ class Train:
         if self._opt.platform:
             jax.config.update("jax_platforms", self._opt.platform)
         if os.environ.get("HOIG_MULTIHOST"):
-            jax.distributed.initialize()
+            # pod runtimes auto-detect (all None); explicit env vars serve
+            # generic launchers and the 2-process CPU test
+            jax.distributed.initialize(
+                coordinator_address=os.environ.get("HOIG_COORDINATOR"),
+                num_processes=(
+                    int(os.environ["HOIG_NUM_PROCESSES"])
+                    if "HOIG_NUM_PROCESSES" in os.environ else None
+                ),
+                process_id=(
+                    int(os.environ["HOIG_PROCESS_ID"])
+                    if "HOIG_PROCESS_ID" in os.environ else None
+                ),
+            )
         self._primary = jax.process_index() == 0
 
         from hoig_tpu.data.loader import CustomDatasetDataLoader
@@ -172,6 +184,7 @@ class Train:
         self._model.set_eval()
         val_errors = OrderedDict()
         self._dataset_test.set_epoch(i_epoch)
+        n_val = 0
         for i_val, val_batch in enumerate(self._dataset_test):
             if i_val == self._opt.num_iters_validate:
                 break
@@ -179,8 +192,11 @@ class Train:
             self._model.forward(keep_data_for_visuals=(i_val == 0))
             for k, v in self._model.get_current_errors().items():
                 val_errors[k] = val_errors.get(k, 0) + v
+            n_val += 1
+        # average over batches actually seen: a test split smaller than
+        # num_iters_validate must not deflate the reported losses
         for k in val_errors:
-            val_errors[k] /= self._opt.num_iters_validate
+            val_errors[k] /= max(n_val, 1)
         self._tb_visualizer.print_current_validate_errors(
             i_epoch, val_errors, time.time() - val_start
         )

@@ -84,12 +84,22 @@ def conv(
 def conv_transpose(
     features: int, kernel: int, use_bias: bool = False, name: str | None = None
 ) -> nn.ConvTranspose:
-    """2x upsampling transposed conv (torch k=3/4, s=2, p=1, outp=1 -> 2x)."""
+    """2x upsampling transposed conv, EXACT torch geometry.
+
+    torch ConvTranspose2d(k, s=2, p=1, outp=k%2) pads the stride-dilated
+    input with (k-1-p, k-1-p+outp) per side; flax's explicit padding pairs
+    are exactly those dilated-input pads (verified numerically against
+    torch). padding="SAME" would be the mirror image — one pixel off from
+    the reference (generator.py:81,119,201), which matters for converted
+    reference checkpoints.
+    """
+    lo = kernel - 2
+    hi = kernel - 2 + (kernel % 2)
     return nn.ConvTranspose(
         features,
         (kernel, kernel),
         strides=(2, 2),
-        padding="SAME",
+        padding=((lo, hi), (lo, hi)),
         use_bias=use_bias,
         kernel_init=conv_init,
         dtype=compute_dtype(),

@@ -90,8 +90,31 @@ def load_checkpoint(save_dir: str, epoch, state, load_optimizers: bool = True):
     return state
 
 
-def load_generator_params(params_template, load_path: str):
-    """--load_path eval-style G-only restore (trainer.py:206-208)."""
+def load_generator_params(params_template, load_path: str, tcfg=None):
+    """--load_path eval-style G-only restore (trainer.py:206-208).
+
+    Accepts either this framework's flax msgpack .ckpt or a REFERENCE torch
+    checkpoint (`net_epoch_*_id_G.pth`, or an .npz dump of its state dict
+    made by scripts/convert_weights.py generator) — the latter is converted
+    on the fly via models.torch_port, unlocking eval against
+    reference-trained weights."""
+    if load_path.endswith((".pth", ".pt", ".npz")):
+        from hoig_tpu.models.torch_port import generator_params_from_torch
+
+        if tcfg is None:
+            raise ValueError(
+                "loading a torch checkpoint requires the TrainConfig "
+                "(for the generator architecture layout)"
+            )
+        if load_path.endswith(".npz"):
+            state = dict(np.load(load_path))
+        else:
+            import torch
+
+            state = torch.load(load_path, map_location="cpu",
+                               weights_only=False)
+            state = {k: v.detach().cpu().numpy() for k, v in state.items()}
+        return generator_params_from_torch(params_template, state, tcfg)
     return load_tree(params_template, load_path)
 
 

@@ -43,6 +43,11 @@ _EXPECT = {
     "alexnet": ["features.0.weight", "features.10.weight"],
     "lpips": ["lpips_weights.0.main.1.weight", "lpips_weights.4.main.1.weight"],
     "inception": ["Conv2d_1a_3x3.conv.weight", "Mixed_7c.branch_pool.conv.weight"],
+    # reference HOGAN checkpoints (net_epoch_{E}_id_{G,D}.pth): dumped as a
+    # raw-key .npz; the flax-tree mapping happens at load time
+    # (hoig_tpu/models/torch_port.py) so one dump serves every gen variant
+    "generator": ["bg_model.model.0.weight", "src_model.img_reg.0.weight"],
+    "discriminator": ["model.0.weight", "model.0.bias"],
 }
 
 
@@ -69,6 +74,12 @@ def to_numpy(t):
 
 def convert(kind: str, src: str, dst: str) -> dict:
     state = load_state_dict(src)
+    if kind in ("generator", "discriminator"):
+        # DDP-saved reference checkpoints carry 'module.' prefixes
+        state = {
+            (k[len("module."):] if k.startswith("module.") else k): v
+            for k, v in state.items()
+        }
     keys = set(state.keys())
     missing = [k for k in _EXPECT[kind] if k not in keys]
     if missing:

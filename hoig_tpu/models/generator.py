@@ -93,6 +93,10 @@ class ExtractorAttn(nn.Module):
     """
 
     kernel_size: int = 5
+    # corner engine: "shift" = bounded masked shifts (no gather/scatter at
+    # all — see below), "gather" = per-pixel row gathers (the r2 path, kept
+    # for A/B benchmarking and for hypothetical unbounded flows)
+    corner_engine: str = "shift"
 
     @nn.compact
     def __call__(self, source: jax.Array, target: jax.Array, flow: jax.Array):
@@ -124,6 +128,127 @@ class ExtractorAttn(nn.Module):
         wy[0] = 1.0 - wy[1]
         x0 = x0f.astype(jnp.int32)
         y0 = y0f.astype(jnp.int32)
+
+        # fc_0 target half (shared by both engines): sum_t shift(target, t)
+        # @ W_t == replicate-pad VALID correlation (one MXU conv instead of
+        # k^2 shifts+matmuls)
+        tpad = jnp.pad(
+            target.astype(cd), ((0, 0), (r, r), (r, r), (0, 0)), mode="edge"
+        )
+        acc = jax.lax.conv_general_dilated(
+            tpad, w0c[:, :, :c], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b0.astype(cd)
+
+        if self.corner_engine == "shift":
+            return self._shift_engine(
+                source, flow, acc, w0c, w1, b1, wy, wx, x0, y0, xf, yf, cd
+            )
+        return self._gather_engine(
+            source, acc, w0c, w1, b1, wy, wx, x0, y0, cd
+        )
+
+    # ------------------------------------------------------------- engines
+    # The flow here is the reference's normalized-coordinate delta
+    # (T_scale - idt, generator.py:484-488) interpreted in pixels, so it is
+    # BOUNDED: T in [-2, 1] (cal_bc_transform fills -2/-1), idt in [-1, 1)
+    # => flow in [-3, 2) and floor(flow) takes only the 6 values {-3..2}
+    # per axis. A per-pixel bilinear sample at flow + offset is therefore a
+    # per-pixel-weighted combination of BOUNDED INTEGER SHIFTS of the
+    # source — expressible as edge-padded slices + per-pixel coefficient
+    # fields with no gather at all; the autodiff transpose is the opposite
+    # shifts with the same fields, killing the backward scatter-adds that
+    # dominated the TPU profile (PERF.md: gathers + their scatter-add VJPs
+    # were the single largest non-conv cost). Exact for flow in
+    # [_FLOOR_LO, _FLOOR_HI + 1); the r2 gather engine stays available for
+    # hypothetical unbounded flows.
+    _FLOOR_LO = -3
+    _FLOOR_HI = 2
+
+    def _shift_engine(self, source, flow, acc, w0c, w1, b1, wy, wx, x0, y0,
+                      xf, yf, cd):
+        k = self.kernel_size
+        r = k // 2
+        b, h, w, c = source.shape
+        f32 = jnp.float32
+        LO, HI = self._FLOOR_LO, self._FLOOR_HI
+        PAD = r + HI + 1  # max |total shift| = r + HI + 1
+
+        src_c = source.astype(cd)
+        fy_rel = jnp.clip(y0 - yf.astype(jnp.int32), LO, HI)
+        fx_rel = jnp.clip(x0 - xf.astype(jnp.int32), LO, HI)
+        oh_y = {v: (fy_rel == v)[..., None].astype(cd) for v in range(LO, HI + 1)}
+        oh_x = {v: (fx_rel == v)[..., None].astype(cd) for v in range(LO, HI + 1)}
+
+        # per-axis bilinear coefficient fields: the weight a sample with
+        # per-pixel floor f and frac w1 puts on integer shift e is
+        # A[e] = w0 * [f == e] + w1 * [f == e - 1]
+        def coeff_fields(oh, w0_, w1_):
+            A = {}
+            for e in range(LO, HI + 2):
+                t0 = oh[e] * w0_ if LO <= e <= HI else None
+                t1 = oh[e - 1] * w1_ if LO <= e - 1 <= HI else None
+                A[e] = (
+                    t0 + t1 if t0 is not None and t1 is not None
+                    else (t0 if t0 is not None else t1)
+                )
+            return A
+
+        Ay = coeff_fields(oh_y, wy[0], wy[1])
+        Ax = coeff_fields(oh_x, wx[0], wx[1])
+        Axy = {
+            (ey, ex): Ay[ey] * Ax[ex]
+            for ey in range(LO, HI + 2)
+            for ex in range(LO, HI + 2)
+        }
+        offsets = [(ty, tx) for ty in range(-r, r + 1) for tx in range(-r, r + 1)]
+
+        def shifted(padded, dy, dx):
+            s_ = jax.lax.slice_in_dim(padded, PAD + dy, PAD + dy + h, axis=1)
+            return jax.lax.slice_in_dim(s_, PAD + dx, PAD + dx + w, axis=2)
+
+        # fc_0 source half: project FIRST (gather commutes with the channel
+        # contraction), then combine bounded shifts of the 128-wide
+        # projections — 4x fewer matmul FLOPs than the corner-stacked form
+        # and zero gathers: s^P_t[p] = sum_e Ay[ey]Ax[ex] P_t[p + t + e]
+        for ty, tx in offsets:
+            p_t = src_c @ w0c[ty + r, tx + r, c:]
+            p_pad = jnp.pad(
+                p_t, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)), mode="edge"
+            )
+            for (ey, ex), coeff in Axy.items():
+                acc = acc + coeff * shifted(p_pad, ty + ey, tx + ex)
+
+        hdn = nn.leaky_relu(acc, negative_slope=0.01)
+        logits = jnp.einsum("bhwf,fk->bhwk", hdn, w1[0, 0].astype(cd)) + b1.astype(cd)
+        attn = nn.softmax(logits.astype(f32), axis=-1).astype(cd)
+
+        # output half: out = mean_t attn_t * s_t regrouped per total shift
+        # d: out[p] = sum_d V_d[p] * src[p + d],
+        # V_d = sum_t attn_t * Axy[d - t]
+        V = {}
+        for ty, tx in offsets:
+            t_idx = (ty + r) * k + (tx + r)
+            at = attn[..., t_idx : t_idx + 1]
+            for (ey, ex), coeff in Axy.items():
+                key = (ty + ey, tx + ex)
+                term = at * coeff
+                V[key] = term if key not in V else V[key] + term
+
+        src_pad = jnp.pad(
+            src_c, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)), mode="edge"
+        )
+        out = None
+        for (dy, dx), vd in V.items():
+            term = vd * shifted(src_pad, dy, dx)
+            out = term if out is None else out + term
+        return (out / (k * k)).astype(source.dtype)
+
+    def _gather_engine(self, source, acc, w0c, w1, b1, wy, wx, x0, y0, cd):
+        k = self.kernel_size
+        r = k // 2
+        b, h, w, c = source.shape
+        f32 = jnp.float32
         src_flat = source.astype(cd).reshape(b, h * w, c)
 
         def corner(ry: int, rx: int) -> jax.Array:
@@ -150,16 +275,6 @@ class ExtractorAttn(nn.Module):
             return out
 
         corners = [(ry, rx) for ry in range(-r, r + 2) for rx in range(-r, r + 2)]
-
-        # fc_0 target half: sum_t shift(target, t) @ W_t == replicate-pad
-        # VALID correlation (one MXU conv instead of k^2 shifts+matmuls)
-        tpad = jnp.pad(
-            target.astype(cd), ((0, 0), (r, r), (r, r), (0, 0)), mode="edge"
-        )
-        acc = jax.lax.conv_general_dilated(
-            tpad, w0c[:, :, :c], (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + b0.astype(cd)
 
         # fc_0 source half: one gather per corner, stacked contraction
         for ry, rx in corners:
@@ -422,9 +537,13 @@ class Generator(nn.Module):
             n_down=self.n_down, spade_layers=self.spade_layers,
             remat=self.remat, remat_bottleneck=rb,
         )
+        # gated on remat_attn ALONE so "keep bottleneck convs, recompute
+        # attention" (remat_bottleneck=True, remat_attn=False) is reachable;
+        # the option layer (environment.py) sets both flags together when
+        # --remat_bottleneck forces full remat
         attn_cls = (
             _remat(ExtractorAttn)
-            if (self.remat and (rb or self.remat_attn))
+            if (self.remat and self.remat_attn)
             else ExtractorAttn
         )
         self.attns = {

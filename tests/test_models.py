@@ -178,9 +178,12 @@ def test_vgg_torch_weight_port(rng):
         )
 
 
-def test_extractor_attn_fused_equals_block_formulation(rng):
-    """The fused per-offset attention must match the reference's
-    block-expansion formulation exactly (same params, same math)."""
+@pytest.mark.parametrize("engine", ["shift", "gather"])
+def test_extractor_attn_fused_equals_block_formulation(rng, engine):
+    """Both fused corner engines must match the reference's block-expansion
+    formulation exactly (same params, same math). The shift engine is exact
+    for the model's bounded flow contract (T_scale - idt in [-3, 2), see
+    generator.ExtractorAttn); the gather engine for any flow."""
     from hoig_tpu.ops.block_extractor import (
         block_extractor_nhwc,
         local_attn_reshape_nhwc,
@@ -191,8 +194,12 @@ def test_extractor_attn_fused_equals_block_formulation(rng):
     B, H, W, C, K = 2, 8, 8, 6, 5
     x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
     y = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
-    f = jnp.asarray((rng.randn(B, H, W, 2) * 1.3).astype(np.float32))
-    m = ExtractorAttn(kernel_size=K)
+    if engine == "shift":
+        # the in-contract flow range, edge cases included
+        f = jnp.asarray((rng.rand(B, H, W, 2) * 4.99 - 3.0).astype(np.float32))
+    else:
+        f = jnp.asarray((rng.randn(B, H, W, 2) * 1.3).astype(np.float32))
+    m = ExtractorAttn(kernel_size=K, corner_engine=engine)
     params = m.init(jax.random.PRNGKey(1), x, y, f)
     with jax.default_matmul_precision("highest"):
         fused = np.asarray(m.apply(params, x, y, f))

@@ -93,10 +93,12 @@ class ExtractorAttn(nn.Module):
     """
 
     kernel_size: int = 5
-    # corner engine: "shift" = bounded masked shifts (no gather/scatter at
-    # all — see below), "gather" = per-pixel row gathers (the r2 path, kept
-    # for A/B benchmarking and for hypothetical unbounded flows)
-    corner_engine: str = "shift"
+    # corner engine: "gather" = per-pixel packed row gathers (the measured
+    # production path), "shift" = bounded masked shifts (no gather/scatter;
+    # benchmarked SLOWER on TPU v5e — the 25x49 coefficient-field muladds
+    # cost more VPU+HBM than the 36 corner gathers save — and its term
+    # count inflates XLA compile time; kept for A/B benchmarking)
+    corner_engine: str = "gather"
 
     @nn.compact
     def __call__(self, source: jax.Array, target: jax.Array, flow: jax.Array):
@@ -515,6 +517,9 @@ class Generator(nn.Module):
     # bigger than the conv activations; remat them independently so
     # "keep bottleneck convs, recompute attention" is expressible
     remat_attn: bool = True
+    # ExtractorAttn corner engine ("gather" | "shift"), exposed for A/B
+    # benchmarking (see ExtractorAttn.corner_engine)
+    corner_engine: str = "gather"
 
     def setup(self):
         rb = self.remat_bottleneck
@@ -547,7 +552,9 @@ class Generator(nn.Module):
             else ExtractorAttn
         )
         self.attns = {
-            str(l): attn_cls(kernel_size=5, name=f"attn_{l}")
+            str(l): attn_cls(
+                kernel_size=5, corner_engine=self.corner_engine, name=f"attn_{l}"
+            )
             for l in self.attn_layers
         }
 

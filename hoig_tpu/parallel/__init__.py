@@ -1,5 +1,6 @@
 from hoig_tpu.parallel.mesh import (
     DataParallel,
+    coordination_barrier,
     local_batch_slice,
     make_data_mesh,
     num_data_devices,

@@ -62,6 +62,25 @@ def process_is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def coordination_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Rendezvous every process WITHOUT a device collective.
+
+    Cross-host communicator contexts (Gloo on CPU) handshake with a short
+    deadline on their first collective, so minutes of compile-time skew
+    between ranks must be absorbed here — at the coordination service,
+    which waits up to timeout_ms — before any collective runs. No-op in
+    single-process runs. (The distributed client's barrier is not yet re-
+    exported publicly; degrade to a no-op if the internal layout moves.)"""
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except Exception:
+        return
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def local_batch_slice(global_batch_size: int) -> slice:
     """Index range this host contributes (DistributedSampler equivalent:
     contiguous per-process shard of the global batch)."""
@@ -87,6 +106,13 @@ class DataParallel:
         self.mesh = mesh or make_data_mesh()
         self._replicated = NamedSharding(self.mesh, P())
         self._sharded = NamedSharding(self.mesh, P("data"))
+        # the mesh spans multiple hosts when it includes devices this
+        # process cannot address (jax.devices() on a pod); inputs must then
+        # be assembled per-process instead of device_put from one host
+        self._multihost = any(
+            d.process_index != jax.process_index()
+            for d in self.mesh.devices.flat
+        )
         self._step = jax.jit(
             train_step,
             in_shardings=(self._replicated, self._sharded, self._replicated),
@@ -99,9 +125,26 @@ class DataParallel:
         return self.mesh.devices.size
 
     def replicate(self, tree: Any) -> Any:
+        if self._multihost:
+            # every process holds identical host values (same seed / same
+            # checkpoint); a jit identity with replicated out_shardings
+            # turns them into one global replicated array — the supported
+            # multi-process path (device_put cannot target non-addressable
+            # devices)
+            host = jax.tree.map(np.asarray, tree)
+            return jax.jit(lambda t: t, out_shardings=self._replicated)(host)
         return jax.device_put(tree, self._replicated)
 
     def shard_batch(self, batch: Any) -> Any:
+        if self._multihost:
+            # each process contributes its local shard of the global batch
+            # (DistributedSampler semantics: loader.py ShardedSampler)
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self._sharded, np.asarray(x)
+                ),
+                batch,
+            )
         return jax.device_put(batch, self._sharded)
 
     def step(self, state, batch, d_trainable):

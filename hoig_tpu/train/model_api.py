@@ -163,6 +163,7 @@ class HOIGModel:
         repl = NamedSharding(self._eval_mesh, P())
         shard = NamedSharding(self._eval_mesh, P("data"))
         self._eval_repl = repl
+        self._eval_shard = shard
         self._flow_fn = jax.jit(
             functools.partial(
                 _flow_only, tables=tables, mano_params=mano_params, ccfg=self._ccfg
@@ -182,6 +183,35 @@ class HOIGModel:
             in_shardings=(repl, repl, shard, shard),
             out_shardings=(shard, repl),
         )
+
+        if self._dp._multihost:
+            from hoig_tpu.parallel import coordination_barrier
+
+            # (1) absorb the per-rank init-compile skew at the coordination
+            # service (NOT a device collective), then create the cross-host
+            # communicator contexts with a trivial psum while every rank is
+            # in lockstep — their first-collective handshake deadline is
+            # short (~30s) and a rank still compiling would blow it.
+            coordination_barrier("hoig_model_init")
+            tiny = jax.make_array_from_process_local_data(
+                NamedSharding(self._dp.mesh, P("data")),
+                np.ones((jax.local_device_count(), 1), np.float32),
+            )
+            jax.block_until_ready(
+                jax.jit(
+                    jnp.sum, out_shardings=NamedSharding(self._dp.mesh, P())
+                )(tiny)
+            )
+            # (2) compile the rank-local eval/visual graphs NOW, on every
+            # rank symmetrically: a mid-epoch compile on the primary alone
+            # would stall the other ranks inside a collective past the
+            # communicator deadline (and compiling everything up front is
+            # the right TPU posture anyway).
+            self._batch, self._real_bs = dummy, b
+            self.forward(keep_data_for_visuals=False, compute_losses=True)
+            self.forward(keep_data_for_visuals=False, compute_losses=False)
+            self._batch = None
+            coordination_barrier("hoig_model_ready")
 
         # load networks (reference __init__ tail, trainer.py:206-210)
         if getattr(opt, "load_path", None) not in (None, "None"):
@@ -239,14 +269,20 @@ class HOIGModel:
         logs stale train errors, trainer.py:373-415 — knowingly fixed;
         pass compute_losses=False for the reference's cheaper behavior)."""
         params_g, params_d = self._localized_params()
-        self._flow = self._flow_fn(self._batch)
+        batch = self._batch
+        if self._dp._multihost:
+            # multi-process jit refuses numpy args with non-trivial
+            # shardings (it cannot know they are host-local); place the
+            # batch on the rank-local eval mesh explicitly
+            batch = jax.device_put(batch, self._eval_shard)
+        self._flow = self._flow_fn(batch)
         if compute_losses:
             fakes, metrics = self._eval_fn(
-                params_g, params_d, self._flow, self._batch
+                params_g, params_d, self._flow, batch
             )
             self._errors = metrics
         else:
-            fakes = self._fwd_fn(params_g, self._flow, self._batch)
+            fakes = self._fwd_fn(params_g, self._flow, batch)
         if self._real_bs != jax.tree_util.tree_leaves(self._batch)[0].shape[0]:
             fakes = tuple(f[: self._real_bs] for f in fakes)
         fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh = fakes

@@ -82,6 +82,9 @@ class TrainConfig:
     # kept independently rematerializable so fp32 can keep bottleneck conv
     # activations while still recomputing attention.
     remat_attn: bool = True
+    # ExtractorAttn corner engine; "gather" is the measured production
+    # path, "shift" kept for A/B benchmarking (generator.py engines)
+    corner_engine: str = "gather"
     compute_dtype: Any = jnp.float32
 
 
@@ -113,6 +116,7 @@ def build_networks(cfg: TrainConfig):
         remat=cfg.remat,
         remat_bottleneck=cfg.remat_bottleneck,
         remat_attn=cfg.remat_attn,
+        corner_engine=cfg.corner_engine,
     )
     d = NetworksFactory.get_by_name(
         "discriminator_patch_gan",

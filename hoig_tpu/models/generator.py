@@ -146,6 +146,8 @@ class ExtractorAttn(nn.Module):
             return self._shift_engine(
                 source, flow, acc, w0c, w1, b1, wy, wx, x0, y0, xf, yf, cd
             )
+        if self.corner_engine == "pallas":
+            return self._pallas_engine(source, flow, acc, w0c, w1, b1, cd)
         return self._gather_engine(
             source, acc, w0c, w1, b1, wy, wx, x0, y0, cd
         )
@@ -245,6 +247,30 @@ class ExtractorAttn(nn.Module):
             term = vd * shifted(src_pad, dy, dx)
             out = term if out is None else out + term
         return (out / (k * k)).astype(source.dtype)
+
+    def _pallas_engine(self, source, flow, acc, w0c, w1, b1, cd):
+        """Fused VMEM-resident kernel (ops/attn_pallas.py): the whole
+        attention — corner sampling, fc_0 source half, softmax, weighted
+        mean — runs per (batch, row-tile) out of VMEM, with a custom VJP
+        that re-reads halos instead of storing 36 corner tensors and
+        replaces every backward scatter-add with reverse bounded shifts.
+        Exact for the HOGAN flow bound (see _FLOOR_LO/_FLOOR_HI above);
+        interpret mode keeps CPU tests runnable."""
+        from hoig_tpu.ops.attn_pallas import _flow_fields, flow_attention_fused
+
+        if self.kernel_size != 5:  # kernel is specialized to k=5
+            raise NotImplementedError("pallas corner engine requires k=5")
+        b, h, w, c = source.shape
+        f32 = jnp.float32
+        fy_rel, fx_rel, wyf, wxf = _flow_fields(flow)
+        w0s = w0c[:, :, c:, :].reshape(self.kernel_size ** 2, c, 128)
+        out = flow_attention_fused(
+            source.astype(cd), acc.astype(f32), w0s,
+            w1[0, 0].astype(f32), b1[None].astype(f32),
+            fy_rel, fx_rel, wyf, wxf,
+            jax.default_backend() != "tpu",
+        )
+        return out.astype(source.dtype)
 
     def _gather_engine(self, source, acc, w0c, w1, b1, wy, wx, x0, y0, cd):
         k = self.kernel_size

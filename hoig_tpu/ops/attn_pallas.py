@@ -1,0 +1,802 @@
+"""Fused Pallas TPU kernel for flow-guided local attention (ExtractorAttn).
+
+The XLA gather engine (models/generator.py:_gather_engine) is HBM-bound:
+36 corner gathers of the full C-wide source per phase, their scatter-add
+VJP transposes, and the materialized attention intermediates dominated the
+r2 TPU profile (PERF.md: 190 ms/step gather+scatter on a 457 ms step).
+
+This kernel exploits the boundedness of the HOGAN flow (the normalized
+T-delta interpreted in pixels, generator.py:480-491: floor(flow) is
+always in {-3..2} per axis) to keep EVERYTHING in VMEM:
+
+  * the source tile plus a +-5 halo is loaded once per (batch, row-tile);
+  * each bilinear corner sample is a per-pixel 2-term combination of
+    bounded integer shifts of the halo — VMEM slices, not HBM gathers;
+  * fc_0's source half pre-projects the halo through the 25 offset weight
+    slices on the MXU ((wf.G)@W = wf.(G@W)) and accumulates the 25x49
+    shifted coefficient-field FMAs on the VPU — cheap at VMEM bandwidth,
+    catastrophic at HBM bandwidth (which is why the pure-XLA "shift
+    engine" version of this same algebra measured SLOWER than gathers);
+  * the output phase regroups mean_t attn_t * s_t by total shift d:
+    out[p] = (1/25) sum_d V_d[p] * src[p+d], V_d = sum_e Cyx[e]*attn_{d-e}
+    — 121 C-wide FMAs per pixel;
+  * the custom VJP re-reads the same halos instead of storing 36 corner
+    tensors, and replaces every backward scatter-add with the reverse
+    bounded shifts (gradient of shift = opposite shift).
+
+Reference semantics (HOIG_HOv3/models/networks/extract_attn.py:8-37 +
+block_extractor_kernel.cu:58-68) are preserved exactly: flow in pixel
+units, border-clamped corner indices with unclamped bilinear weights
+(= edge-padded source), softmax over the k^2=25 offsets in f32.
+
+Numerics: MXU matmuls in the input dtype with f32 accumulation; all
+coefficient-field FMAs in f32; softmax in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K = 5  # kernel_size (static: the only value the HOGAN family uses)
+R = K // 2  # 2
+FLOOR_LO = -3  # floor(flow) bounds per axis (see generator.py engines)
+FLOOR_HI = 2
+EY_LO, EY_HI = FLOOR_LO, FLOOR_HI + 1  # corner-offset range: -3..3 (7)
+PAD = R + FLOOR_HI + 1  # 5: max |total shift| per axis
+NSHIFT = 2 * PAD + 1  # 11 total shifts per axis, 121 in 2D
+F = 128  # fc_0 hidden width (reference fc_0 out_channels)
+K2 = K * K  # 25
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _row_tile(h: int, w: int) -> int:
+    """Rows per grid step: whole image when small, else bounded so the
+    f32 halo intermediates fit VMEM alongside the weights."""
+    if h <= 32:
+        return h
+    budget = 2048  # pixels per tile (VMEM-sized: see module docstring)
+    th = max(8, budget // w)
+    while h % th:
+        th //= 2
+    return min(th, h)
+
+
+def _offsets():
+    return [(ty, tx) for ty in range(-R, R + 1) for tx in range(-R, R + 1)]
+
+
+def _corner_shifts():
+    return [
+        (ey, ex)
+        for ey in range(EY_LO, EY_HI + 1)
+        for ex in range(EY_LO, EY_HI + 1)
+    ]
+
+
+def _coeff_fields(fy_rel, fx_rel, wy, wx):
+    """The 49 per-pixel corner coefficient fields Cyx[(ey,ex)] (f32).
+
+    A bilinear sample with per-pixel floor f and fraction w puts weight
+    (1-w)*[f==e] + w*[f==e-1] on integer shift e (per axis); Cyx is the
+    outer product of the two axes. Only 4 of the 49 are nonzero per pixel.
+    """
+    ay = {}
+    ax = {}
+    for e in range(EY_LO, EY_HI + 1):
+        t0y = jnp.where(fy_rel == e, 1.0 - wy, 0.0) if FLOOR_LO <= e <= FLOOR_HI else 0.0
+        t1y = jnp.where(fy_rel == e - 1, wy, 0.0) if FLOOR_LO <= e - 1 <= FLOOR_HI else 0.0
+        ay[e] = t0y + t1y
+        t0x = jnp.where(fx_rel == e, 1.0 - wx, 0.0) if FLOOR_LO <= e <= FLOOR_HI else 0.0
+        t1x = jnp.where(fx_rel == e - 1, wx, 0.0) if FLOOR_LO <= e - 1 <= FLOOR_HI else 0.0
+        ax[e] = t0x + t1x
+    return {
+        (ey, ex): ay[ey] * ax[ex]
+        for ey in range(EY_LO, EY_HI + 1)
+        for ex in range(EY_LO, EY_HI + 1)
+    }
+
+
+def _flow_fields(flow):
+    """Per-pixel integer relative floors (clipped to the bounded range) and
+    bilinear fractions, mirroring _gather_engine's index math (f32)."""
+    f32 = jnp.float32
+    b, h, w = flow.shape[:3]
+    xf = jax.lax.broadcasted_iota(f32, (h, w), 1)
+    yf = jax.lax.broadcasted_iota(f32, (h, w), 0)
+    fx = flow[..., 0].astype(f32) + xf
+    fy = flow[..., 1].astype(f32) + yf
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    # kept in f32 (exact small integers) so the custom_vjp can hand back
+    # zero cotangents without float0 bookkeeping
+    fx_rel = jnp.clip(x0 - xf, FLOOR_LO, FLOOR_HI)
+    fy_rel = jnp.clip(y0 - yf, FLOOR_LO, FLOOR_HI)
+    return fy_rel, fx_rel, wy.astype(f32), wx.astype(f32)
+
+
+# --------------------------------------------------------------------- fwd
+
+
+def _fwd_kernel(src_hbm, acc0_ref, fy_ref, fx_ref, wy_ref, wx_ref,
+                w0s_ref, w1_ref, b1_ref, out_ref, acc_ref, attn_ref,
+                src_vmem, dma_sem,
+                *, th: int, h: int, w: int, wp: int, c: int):
+    """One (batch, row-tile) program.
+
+    src_hbm: (B, H+2P, WP, C) edge-padded source, resident in HBM; the
+      (TH+2P)-row halo band for this tile is DMA'd to src_vmem (halo rows
+      OVERLAP between tiles, which BlockSpec cannot express)
+    acc0_ref: (1, TH, W, F) f32 — target half + fc_0 bias, precomputed
+    fy/fx/wy/wx: (1, TH, W) flow fields
+    w0s_ref: (K2, C, F) fc_0 source-half weights (input dtype)
+    w1_ref: (F, K2) f32; b1_ref: (1, K2) f32
+    out_ref: (1, TH, W, C); acc_ref: (1, TH, W, F) f32 (residual);
+    attn_ref: (1, TH, W, K2) f32 (residual)
+    """
+    f32 = jnp.float32
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    thp = th + 2 * PAD
+    dma = pltpu.make_async_copy(
+        src_hbm.at[bb, pl.ds(i * th, thp)], src_vmem, dma_sem
+    )
+    dma.start()
+    cyx = _coeff_fields(fy_ref[0], fx_ref[0], wy_ref[0], wx_ref[0])
+    dma.wait()
+    src = src_vmem[:]  # (THP, WP, C)
+
+    # phase A: acc[p] += sum_t sum_e Cyx[e][p] * (src @ W_t)[p + t + e].
+    # Cyx does not depend on t, so the t-sum collapses FIRST:
+    #   G[q] = sum_t (src @ W_t)[q + t]   (a 5x5 correlation, pure MXU)
+    #   acc[p] += sum_e Cyx[e][p] * G[p + e]
+    # — 25 matmuls + 49 F-wide FMAs instead of 25 matmuls + 1225 FMAs.
+    # G is needed on the +-HALO neighborhood of the tile (e in [-3,3]^2).
+    halo = EY_HI  # 3: corner shifts span [-EY_HI, EY_HI] per axis
+    g_t = jnp.zeros((th + 2 * halo, w + 2 * halo, F), f32)
+    for ti, (ty, tx) in enumerate(_offsets()):
+        sy = PAD - halo + ty
+        sx = PAD - halo + tx
+        sl = jax.lax.slice(
+            src, (sy, sx, 0), (sy + th + 2 * halo, sx + w + 2 * halo, c)
+        )
+        g_t = g_t + jax.lax.dot_general(
+            sl, w0s_ref[ti],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    acc = acc0_ref[0]  # (TH, W, F) f32
+    for (ey, ex) in _corner_shifts():
+        sl = jax.lax.slice(
+            g_t, (halo + ey, halo + ex, 0), (halo + ey + th, halo + ex + w, F)
+        )
+        acc = acc + cyx[(ey, ex)][:, :, None] * sl
+    acc_ref[0] = acc
+
+    # phase B: leaky_relu -> 1x1 conv to K2 logits -> softmax (f32)
+    hdn = jnp.where(acc >= 0, acc, 0.01 * acc)
+    logits = jax.lax.dot_general(
+        hdn, w1_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + b1_ref[0]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    ex_ = jnp.exp(logits - m)
+    attn = ex_ / jnp.sum(ex_, axis=-1, keepdims=True)
+    attn_ref[0] = attn
+
+    # phase C: out[p] = (1/25) sum_d V_d[p] * src[p + d],
+    #          V_d = sum_e Cyx[e] * attn_{d-e}
+    vfields = {}
+    for ti, (ty, tx) in enumerate(_offsets()):
+        at = attn[:, :, ti]
+        for (ey, ex) in _corner_shifts():
+            d = (ty + ey, tx + ex)
+            term = at * cyx[(ey, ex)]
+            vfields[d] = term if d not in vfields else vfields[d] + term
+
+    out = jnp.zeros((th, w, c), f32)
+    for (dy, dx), vd in vfields.items():
+        sl = jax.lax.slice(
+            src, (PAD + dy, PAD + dx, 0), (PAD + dy + th, PAD + dx + w, c)
+        ).astype(f32)
+        out = out + vd[:, :, None] * sl
+    out_ref[0] = (out / (K * K)).astype(out_ref.dtype)
+
+
+def _pad_halo(x, h_axis: int, w_axis: int, wp: int, mode: str):
+    """Pad spatial axes by PAD (edge for src, zeros for cotangents) and the
+    width up to WP (zeros; never read) so sublane dims stay /8-aligned."""
+    cfg = [(0, 0)] * x.ndim
+    cfg[h_axis] = (PAD, PAD)
+    cfg[w_axis] = (PAD, PAD)
+    x = jnp.pad(x, cfg, mode=mode)
+    extra = wp - x.shape[w_axis]
+    if extra:
+        cfg = [(0, 0)] * x.ndim
+        cfg[w_axis] = (0, extra)
+        x = jnp.pad(x, cfg)
+    return x
+
+
+def _bwd_a_gsrc_kernel(gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm, w0s_ref,
+                       gsrc_ref,
+                       gacc_buf, fy_buf, fx_buf, wy_buf, wx_buf, sems,
+                       *, th: int, h: int, w: int, wp: int, c: int):
+    """Phase-A backward w.r.t. the source:
+
+    g_srcpad[m'] = sum_t dG[m' - t] @ W_t^T,
+    dG[q] = sum_e (Cyx . g_acc)_pad[q - e]
+
+    — the reverse bounded shifts of the coefficient-weighted hidden
+    cotangent (dG, shared by all 25 offsets — the transpose of the
+    forward's collapsed correlation), projected back through each
+    offset's weight slice.
+    """
+    f32 = jnp.float32
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    dmas = [
+        _margin_dma(gacc_hbm, bb, i, th, gacc_buf, sems.at[0]),
+        _margin_dma(fy_hbm, bb, i, th, fy_buf, sems.at[1]),
+        _margin_dma(fx_hbm, bb, i, th, fx_buf, sems.at[2]),
+        _margin_dma(wy_hbm, bb, i, th, wy_buf, sems.at[3]),
+        _margin_dma(wx_hbm, bb, i, th, wx_buf, sems.at[4]),
+    ]
+    for d in dmas:
+        d.wait()
+
+    cyx = _coeff_fields(
+        fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
+        wy_buf[:], wx_buf[:],
+    )
+    gacc = gacc_buf[:]
+
+    def gsp_rows(row0: int, nrows: int):
+        # dG on the +-R neighborhood of the strip, shared by all offsets
+        wide = w + 2 * PAD + 2 * R
+        dg = jnp.zeros((nrows + 2 * R, wide, F), f32)
+        for (ey, ex) in _corner_shifts():
+            r0 = row0 - R - ey
+            c0 = PAD - R - ex
+            csl = jax.lax.slice(
+                cyx[(ey, ex)], (r0, c0), (r0 + nrows + 2 * R, c0 + wide)
+            )
+            gsl = jax.lax.slice(
+                gacc, (r0, c0, 0), (r0 + nrows + 2 * R, c0 + wide, F)
+            )
+            dg = dg + csl[:, :, None] * gsl
+        acc = jnp.zeros((nrows, w + 2 * PAD, c), f32)
+        for ti, (ty, tx) in enumerate(_offsets()):
+            sl = jax.lax.slice(
+                dg, (R - ty, R - tx, 0),
+                (R - ty + nrows, R - tx + w + 2 * PAD, F),
+            )
+            acc = acc + jax.lax.dot_general(
+                sl, w0s_ref[ti],
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=f32,
+            )
+        return acc
+
+    gsrc = _fold_cols(gsp_rows(2 * PAD, th), th, w)
+
+    def row_margin(row0):
+        return jnp.sum(_fold_cols(gsp_rows(row0, PAD), PAD, w), axis=0)
+
+    first = jnp.where(i == 0, 1.0, 0.0).astype(f32)
+    last = jnp.where(i == n_i - 1, 1.0, 0.0).astype(f32)
+    top = row_margin(PAD) * first
+    bot = row_margin(2 * PAD + th) * last
+    gsrc = jnp.concatenate(
+        [gsrc[:1] + top[None], gsrc[1:-1], gsrc[-1:] + bot[None]], axis=0
+    )
+    gsrc_ref[0] = gsrc.astype(gsrc_ref.dtype)
+
+
+def _bwd_a_dw_kernel(src_hbm, gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
+                     dw_ref,
+                     src_vmem, gacc_buf, fy_buf, fx_buf, wy_buf, wx_buf, sems,
+                     *, th: int, h: int, w: int, wp: int, c: int):
+    """Phase-A backward w.r.t. the fc_0 source-half weights:
+
+    dW_t = sum_{m'} src_pad[m'] (x) E_t[m'],  E_t as in _bwd_a_gsrc_kernel.
+
+    Each tile owns the CENTERED padded rows [i*TH+P, (i+1)*TH+P) — the rows
+    whose E_t reads (+-P) stay inside the tile's DMA band; the first tile
+    additionally owns the top pad rows [0, P) and the last tile the bottom
+    pad rows [H+P, H+2P) (their out-of-canvas reads hit the margin zeros,
+    which are correct there). dW accumulates across grid steps in the
+    revisited (constant-index) output block.
+    """
+    f32 = jnp.float32
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    thp = th + 2 * PAD
+
+    d0 = pltpu.make_async_copy(
+        src_hbm.at[bb, pl.ds(i * th, thp)], src_vmem, sems.at[0]
+    )
+    d0.start()
+    dmas = [
+        _margin_dma(gacc_hbm, bb, i, th, gacc_buf, sems.at[1]),
+        _margin_dma(fy_hbm, bb, i, th, fy_buf, sems.at[2]),
+        _margin_dma(fx_hbm, bb, i, th, fx_buf, sems.at[3]),
+        _margin_dma(wy_hbm, bb, i, th, wy_buf, sems.at[4]),
+        _margin_dma(wx_hbm, bb, i, th, wx_buf, sems.at[5]),
+    ]
+    for d in dmas:
+        d.wait()
+    d0.wait()
+
+    @pl.when(jnp.logical_and(bb == 0, i == 0))
+    def _():
+        dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    cyx = _coeff_fields(
+        fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
+        wy_buf[:], wx_buf[:],
+    )
+    gacc = gacc_buf[:]
+
+    def dg_rows(row0: int, nrows: int):
+        """dG[q] = sum_e (Cyx.gacc)[q-e] on the strip's +-R neighborhood;
+        E_t[m'] = dG[m'-t] for every offset (shared, as in the fwd)."""
+        wide = wp + 2 * R
+        dg = jnp.zeros((nrows + 2 * R, wide, F), f32)
+        for (ey, ex) in _corner_shifts():
+            r0 = row0 - R - ey
+            c0 = PAD - R - ex
+            csl = jax.lax.slice(
+                cyx[(ey, ex)], (r0, c0), (r0 + nrows + 2 * R, c0 + wide)
+            )
+            gsl = jax.lax.slice(
+                gacc, (r0, c0, 0), (r0 + nrows + 2 * R, c0 + wide, F)
+            )
+            dg = dg + csl[:, :, None] * gsl
+        return dg
+
+    def e_rows(dg, ty, tx, nrows: int):
+        return jax.lax.slice(
+            dg, (R - ty, R - tx, 0), (R - ty + nrows, R - tx + wp, F)
+        )
+
+    # owned rows m' = [i*TH+P, i*TH+TH+P): src band row offset P, margined
+    # buffer row offset 2P
+    src2d_main = src_vmem[pl.ds(PAD, th)].reshape(th * wp, c).astype(f32)
+    dg_main = dg_rows(2 * PAD, th)
+    for ti, (ty, tx) in enumerate(_offsets()):
+        e_main = e_rows(dg_main, ty, tx, th).reshape(th * wp, F)
+        dw_ref[ti] = dw_ref[ti] + jax.lax.dot_general(
+            src2d_main, e_main,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+    # the first tile additionally owns the top pad rows m' = [0, P)
+    # (src band row offset 0, margined buffer row offset P)
+    @pl.when(i == 0)
+    def _():
+        src2d_top = src_vmem[pl.ds(0, PAD)].reshape(PAD * wp, c).astype(f32)
+        dg_top = dg_rows(PAD, PAD)
+        for ti, (ty, tx) in enumerate(_offsets()):
+            e_top = e_rows(dg_top, ty, tx, PAD).reshape(PAD * wp, F)
+            dw_ref[ti] = dw_ref[ti] + jax.lax.dot_general(
+                src2d_top, e_top,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+    # the last tile additionally owns the bottom pad rows m' = [h+P, h+2P)
+    # (src band row offset TH+P, margined buffer row offset TH+2P)
+    @pl.when(i == n_i - 1)
+    def _():
+        src2d_tail = (
+            src_vmem[pl.ds(th + PAD, PAD)].reshape(PAD * wp, c).astype(f32)
+        )
+        dg_tail = dg_rows(th + 2 * PAD, PAD)
+        for ti, (ty, tx) in enumerate(_offsets()):
+            e_tail = e_rows(dg_tail, ty, tx, PAD).reshape(PAD * wp, F)
+            dw_ref[ti] = dw_ref[ti] + jax.lax.dot_general(
+                src2d_tail, e_tail,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+
+def _row_specs(th, w, lasts):
+    """Row-tile BlockSpecs over (B, H, W[, last]) arrays for grid (b, i)."""
+    out = []
+    for last in lasts:
+        if last is None:
+            out.append(pl.BlockSpec(
+                (1, th, w), lambda bb, i: (bb, i, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        else:
+            out.append(pl.BlockSpec(
+                (1, th, w, last),
+                lambda bb, i: (bb, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+    return out
+
+
+# --------------------------------------------------------------------- bwd
+#
+# Coordinate scheme shared by the backward kernels. "Padded" coords pr/px
+# index the edge-padded canvas [0, H+2P) x [0, W+2P); image pixel (y, x)
+# sits at (y+P, x+P). Cotangent fields ((V.g_out), (Cyx.g_acc)) are ZERO
+# outside the image. Reverse-shift reads reach +-P beyond a tile's padded
+# band, so band inputs are DMA'd into MARGINED buffers: band content
+# [i*TH, i*TH+THP) x [0, WP) lives at buffer offset (P, P), zeros around.
+# Buffer row br <-> pr = i*TH + (br - P); buffer col bc <-> px = bc - P.
+#
+# Gradient w.r.t. the un-padded source folds the edge-replicated margins
+# onto the border pixels: rows only at the first/last tile (@pl.when),
+# columns in every tile.
+
+
+def _margin_dma(hbm, bb, i, th, buf, sem):
+    """Zero `buf` and DMA the (THP x WP) band into its (P, P) offset."""
+    thp = th + 2 * PAD
+    buf[:] = jnp.zeros(buf.shape, buf.dtype)
+    dma = pltpu.make_async_copy(
+        hbm.at[bb, pl.ds(i * th, thp)],
+        buf.at[pl.ds(PAD, thp), pl.ds(PAD, hbm.shape[2])],
+        sem,
+    )
+    dma.start()
+    return dma
+
+
+def _center(x, th, w):
+    """Image-pixel block of a margined band buffer (rows rr=0..th-1 at
+    br=rr+2P, cols x=0..w-1 at bc=x+2P)."""
+    return jax.lax.slice(
+        x, (2 * PAD, 2 * PAD) + (0,) * (x.ndim - 2),
+        (2 * PAD + th, 2 * PAD + w) + x.shape[2:],
+    )
+
+
+def _fold_cols(gsp, th_rows, w):
+    """Collapse padded cols [0,P) / [w+P, w+2P) of a (rows, w+2P, C) strip
+    onto its border image columns; returns (rows, w, C)."""
+    core = jax.lax.slice(gsp, (0, PAD, 0), (th_rows, PAD + w, gsp.shape[2]))
+    left = jnp.sum(
+        jax.lax.slice(gsp, (0, 0, 0), (th_rows, PAD, gsp.shape[2])),
+        axis=1, keepdims=True,
+    )
+    right = jnp.sum(
+        jax.lax.slice(gsp, (0, PAD + w, 0),
+                      (th_rows, 2 * PAD + w, gsp.shape[2])),
+        axis=1, keepdims=True,
+    )
+    zero = jnp.zeros((th_rows, w - 1, gsp.shape[2]), gsp.dtype)
+    return (
+        core
+        + jnp.concatenate([left, zero], axis=1)
+        + jnp.concatenate([zero, right], axis=1)
+    )
+
+
+def _bwd_c_kernel(src_hbm, gout_hbm, attn_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
+                  gsrc_ref, gattn_ref,
+                  src_vmem, gout_buf, attn_buf, fy_buf, fx_buf, wy_buf, wx_buf,
+                  sems,
+                  *, th: int, h: int, w: int, wp: int, c: int):
+    """Phase-C backward: g_src (output half) and g_attn.
+
+    g_srcpad[q'] = (1/K2) sum_d (V_d . g_out)_pad[q' - d]
+    g_attn_t[p]  = (1/K2) sum_e Cyx[e][p] . (g_out[p] . src[p + t + e])
+    """
+    f32 = jnp.float32
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    thp = th + 2 * PAD
+
+    d0 = pltpu.make_async_copy(
+        src_hbm.at[bb, pl.ds(i * th, thp)], src_vmem, sems.at[0]
+    )
+    d0.start()
+    dmas = [
+        _margin_dma(gout_hbm, bb, i, th, gout_buf, sems.at[1]),
+        _margin_dma(attn_hbm, bb, i, th, attn_buf, sems.at[2]),
+        _margin_dma(fy_hbm, bb, i, th, fy_buf, sems.at[3]),
+        _margin_dma(fx_hbm, bb, i, th, fx_buf, sems.at[4]),
+        _margin_dma(wy_hbm, bb, i, th, wy_buf, sems.at[5]),
+        _margin_dma(wx_hbm, bb, i, th, wx_buf, sems.at[6]),
+    ]
+    for d in dmas:
+        d.wait()
+    d0.wait()
+
+    cyx = _coeff_fields(
+        fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
+        wy_buf[:], wx_buf[:],
+    )  # margined (THP+2P, WP2); garbage at margins, nulled by attn=0 there
+    attn = attn_buf[:]
+    gout = gout_buf[:].astype(f32)
+
+    # V_d on the margined extent (zero wherever attn is zero)
+    vfields = {}
+    for ti, (ty, tx) in enumerate(_offsets()):
+        at = attn[:, :, ti]
+        for (ey, ex) in _corner_shifts():
+            d = (ty + ey, tx + ex)
+            term = at * cyx[(ey, ex)]
+            vfields[d] = term if d not in vfields else vfields[d] + term
+
+    def gsp_rows(row0: int, nrows: int):
+        """g_srcpad strip for padded rows [i*TH + row0 - P, ...): row0 is
+        the buffer-row offset of the strip (interior strip: row0=2P)."""
+        acc = jnp.zeros((nrows, w + 2 * PAD, c), f32)
+        for (dy, dx), vd in vfields.items():
+            r0 = row0 - dy
+            c0 = PAD - dx
+            vsl = jax.lax.slice(vd, (r0, c0), (r0 + nrows, c0 + w + 2 * PAD))
+            gsl = jax.lax.slice(
+                gout, (r0, c0, 0), (r0 + nrows, c0 + w + 2 * PAD, c)
+            )
+            acc = acc + vsl[:, :, None] * gsl
+        return acc
+
+    gsrc = _fold_cols(gsp_rows(2 * PAD, th), th, w)
+
+    # fold the edge-replicated row margins onto the border rows: the
+    # first/last-tile gate is a branch-free multiplier (the margin strips
+    # are only P=5 rows; cheaper than @pl.when block duplication)
+    def row_margin(row0):
+        return jnp.sum(_fold_cols(gsp_rows(row0, PAD), PAD, w), axis=0)
+
+    first = jnp.where(i == 0, 1.0, 0.0).astype(f32)
+    last = jnp.where(i == n_i - 1, 1.0, 0.0).astype(f32)
+    top = row_margin(PAD) * first  # padded rows [0, P) -> image row 0
+    bot = row_margin(2 * PAD + th) * last  # [h+P, h+2P) -> image row h-1
+    gsrc = jnp.concatenate(
+        [gsrc[:1] + top[None], gsrc[1:-1], gsrc[-1:] + bot[None]], axis=0
+    )
+    gsrc_ref[0] = (gsrc / (K * K)).astype(gsrc_ref.dtype)
+
+    # g_attn on the image tile
+    gout_c = _center(gout, th, w)
+    cyx_c = {e: _center(cy, th, w) for e, cy in cyx.items()}
+    gattn = [jnp.zeros((th, w), f32) for _ in range(K2)]
+    sdots = {}
+    for dy in range(-PAD, PAD + 1):
+        for dx in range(-PAD, PAD + 1):
+            sdots[(dy, dx)] = None
+    for ti, (ty, tx) in enumerate(_offsets()):
+        for (ey, ex) in _corner_shifts():
+            d = (ty + ey, tx + ex)
+            if sdots[d] is None:
+                ssl = jax.lax.slice(
+                    src_vmem[:],
+                    (PAD + d[0], PAD + d[1], 0),
+                    (PAD + d[0] + th, PAD + d[1] + w, c),
+                ).astype(f32)
+                sdots[d] = jnp.sum(gout_c * ssl, axis=-1)
+            gattn[ti] = gattn[ti] + cyx_c[(ey, ex)] * sdots[d]
+    gattn_ref[0] = jnp.stack(gattn, axis=-1) / (K * K)
+
+
+def _fwd_call(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
+              interpret=False):
+    """Forward pallas_call: returns (out, acc, attn) — acc/attn are the
+    f32 residuals consumed by the custom VJP."""
+    b, h, w, c = src.shape
+    th = _row_tile(h, w)
+    wp = _round8(w + 2 * PAD)
+    thp = th + 2 * PAD
+    src_pad = _pad_halo(src, 1, 2, wp, "edge")
+    grid = (b, h // th)
+
+    kernel = functools.partial(_fwd_kernel, th=th, h=h, w=w, wp=wp, c=c)
+    out, acc, attn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # src_pad stays in HBM
+            *_row_specs(th, w, [F, None, None, None, None]),
+            pl.BlockSpec((K2, c, F), lambda bb, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, K2), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K2), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=_row_specs(th, w, [c, F, K2]),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), src.dtype),
+            jax.ShapeDtypeStruct((b, h, w, F), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w, K2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((thp, wp, c), src.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(src_pad, acc0, fy_rel, fx_rel, wy, wx, w0s, w1, b1)
+    return out, acc, attn
+
+
+def _geom(src):
+    b, h, w, c = src.shape
+    th = _row_tile(h, w)
+    return dict(
+        b=b, h=h, w=w, c=c, th=th,
+        wp=_round8(w + 2 * PAD),
+        thp=th + 2 * PAD,
+        grid=(b, h // th),
+    )
+
+
+def _field_bufs(g):
+    mrows = g["thp"] + 2 * PAD
+    wp2 = _round8(g["wp"] + 2 * PAD)
+    f32 = jnp.float32
+    return [pltpu.VMEM((mrows, wp2), f32) for _ in range(4)], mrows, wp2
+
+
+def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
+    """Phase-C backward kernels: (g_src_outputhalf, g_attn)."""
+    g = _geom(src)
+    f32 = jnp.float32
+    fields, mrows, wp2 = _field_bufs(g)
+    src_pad = _pad_halo(src, 1, 2, g["wp"], "edge")
+    gout_pad = _pad_halo(g_out.astype(src.dtype), 1, 2, g["wp"], "constant")
+    attn_pad = _pad_halo(attn, 1, 2, g["wp"], "constant")
+    pads = [
+        _pad_halo(x, 1, 2, g["wp"], "constant")
+        for x in (fy_rel, fx_rel, wy, wx)
+    ]
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_c_kernel, th=g["th"], h=g["h"], w=g["w"], wp=g["wp"],
+            c=g["c"],
+        ),
+        grid=g["grid"],
+        in_specs=[any_spec] * 7,
+        out_specs=_row_specs(g["th"], g["w"], [g["c"], K2]),
+        out_shape=[
+            jax.ShapeDtypeStruct((g["b"], g["h"], g["w"], g["c"]), f32),
+            jax.ShapeDtypeStruct((g["b"], g["h"], g["w"], K2), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g["thp"], g["wp"], g["c"]), src.dtype),
+            pltpu.VMEM((mrows, wp2, g["c"]), src.dtype),
+            pltpu.VMEM((mrows, wp2, K2), f32),
+            *fields,
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        interpret=interpret,
+    )(src_pad, gout_pad, attn_pad, *pads)
+
+
+def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
+    """Phase-A backward kernels: (g_src_fc0half, dW)."""
+    g = _geom(src)
+    f32 = jnp.float32
+    fields, mrows, wp2 = _field_bufs(g)
+    src_pad = _pad_halo(src, 1, 2, g["wp"], "edge")
+    gacc_pad = _pad_halo(g_acc, 1, 2, g["wp"], "constant")
+    pads = [
+        _pad_halo(x, 1, 2, g["wp"], "constant")
+        for x in (fy_rel, fx_rel, wy, wx)
+    ]
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    kw = dict(th=g["th"], h=g["h"], w=g["w"], wp=g["wp"], c=g["c"])
+    gsrc_a = pl.pallas_call(
+        functools.partial(_bwd_a_gsrc_kernel, **kw),
+        grid=g["grid"],
+        in_specs=[any_spec] * 5 + [
+            pl.BlockSpec((K2, g["c"], F), lambda bb, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=_row_specs(g["th"], g["w"], [g["c"]])[0],
+        out_shape=jax.ShapeDtypeStruct((g["b"], g["h"], g["w"], g["c"]), f32),
+        scratch_shapes=[
+            pltpu.VMEM((mrows, wp2, F), f32),
+            *fields,
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        interpret=interpret,
+    )(gacc_pad, *pads, w0s)
+    fields2, _, _ = _field_bufs(g)
+    dw = pl.pallas_call(
+        functools.partial(_bwd_a_dw_kernel, **kw),
+        grid=g["grid"],
+        in_specs=[any_spec] * 6,
+        out_specs=pl.BlockSpec((K2, g["c"], F), lambda bb, i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K2, g["c"], F), f32),
+        scratch_shapes=[
+            pltpu.VMEM((g["thp"], g["wp"], g["c"]), src.dtype),
+            pltpu.VMEM((mrows, wp2, F), f32),
+            *fields2,
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )(src_pad, gacc_pad, *pads)
+    return gsrc_a, dw
+
+
+# ------------------------------------------------------------- public op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def flow_attention_fused(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
+                         interpret=False):
+    """Fused flow-guided local attention (k=5).
+
+    src:  (B, H, W, C) source features (compute dtype)
+    acc0: (B, H, W, 128) f32 — fc_0 target half + bias (XLA conv outside)
+    w0s:  (25, C, 128) fc_0 source-half weights (compute dtype)
+    w1:   (128, 25) f32 fc_1 kernel; b1: (1, 25) f32 fc_1 bias
+    fy_rel/fx_rel/wy/wx: (B, H, W) f32 flow fields (_flow_fields)
+
+    Returns the attention output (B, H, W, C) in src.dtype. Flow fields
+    receive zero cotangents (the HOGAN flow is data, not parameters).
+    """
+    out, _, _ = _fwd_call(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
+                          interpret=interpret)
+    return out
+
+
+def _faf_fwd(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx, interpret):
+    out, acc, attn = _fwd_call(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
+                               interpret=interpret)
+    return out, (src, w0s, w1, fy_rel, fx_rel, wy, wx, acc, attn)
+
+
+def _faf_bwd(interpret, res, g_out):
+    src, w0s, w1, fy_rel, fx_rel, wy, wx, acc, attn = res
+    f32 = jnp.float32
+    b, h, w, _ = src.shape
+
+    # phase C backward (kernel): g_src output-half + g_attn
+    gsrc_c, g_attn = _bwd_c_call(
+        src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=interpret
+    )
+
+    # phase B backward (XLA): softmax -> fc_1 -> leaky_relu (all cheap)
+    g_logits = attn * (g_attn - jnp.sum(attn * g_attn, -1, keepdims=True))
+    g_hdn = jnp.einsum("bhwk,fk->bhwf", g_logits, w1.astype(f32))
+    hdn = jnp.where(acc >= 0, acc, 0.01 * acc)
+    g_w1 = jnp.einsum("bhwf,bhwk->fk", hdn, g_logits)
+    g_b1 = jnp.sum(g_logits, axis=(0, 1, 2))[None]
+    g_acc = jnp.where(acc >= 0, g_hdn, 0.01 * g_hdn)
+
+    # phase A backward (kernels): g_src fc_0-half + dW; g_acc0 = g_acc
+    gsrc_a, dw = _bwd_a_call(
+        src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=interpret
+    )
+
+    zeros = jnp.zeros((b, h, w), f32)
+    return (
+        (gsrc_c + gsrc_a).astype(src.dtype),
+        g_acc,
+        dw.astype(w0s.dtype),
+        g_w1.astype(w1.dtype),
+        g_b1.astype(f32),
+        zeros, zeros, zeros, zeros,
+    )
+
+
+flow_attention_fused.defvjp(_faf_fwd, _faf_bwd)

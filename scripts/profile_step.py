@@ -158,7 +158,8 @@ def aggregate_xplane(log_dir: str, n_steps: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
-    ap.add_argument("--engine", default="gather", choices=["shift", "gather"])
+    ap.add_argument("--engine", default="gather",
+                    choices=["shift", "gather", "pallas"])
     ap.add_argument("--leg", default="train", choices=["train", "fwd"])
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=3)

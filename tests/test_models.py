@@ -178,12 +178,13 @@ def test_vgg_torch_weight_port(rng):
         )
 
 
-@pytest.mark.parametrize("engine", ["shift", "gather"])
+@pytest.mark.parametrize("engine", ["shift", "gather", "pallas"])
 def test_extractor_attn_fused_equals_block_formulation(rng, engine):
-    """Both fused corner engines must match the reference's block-expansion
-    formulation exactly (same params, same math). The shift engine is exact
-    for the model's bounded flow contract (T_scale - idt in [-3, 2), see
-    generator.ExtractorAttn); the gather engine for any flow."""
+    """All fused corner engines must match the reference's block-expansion
+    formulation exactly (same params, same math). The shift and pallas
+    engines are exact for the model's bounded flow contract (T_scale - idt
+    in [-3, 2), see generator.ExtractorAttn); the gather engine for any
+    flow."""
     from hoig_tpu.ops.block_extractor import (
         block_extractor_nhwc,
         local_attn_reshape_nhwc,
@@ -194,7 +195,7 @@ def test_extractor_attn_fused_equals_block_formulation(rng, engine):
     B, H, W, C, K = 2, 8, 8, 6, 5
     x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
     y = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
-    if engine == "shift":
+    if engine in ("shift", "pallas"):
         # the in-contract flow range, edge cases included
         f = jnp.asarray((rng.rand(B, H, W, 2) * 4.99 - 3.0).astype(np.float32))
     else:

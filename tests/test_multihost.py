@@ -1,0 +1,152 @@
+"""Multi-host (process_count > 1) training path (VERDICT r2 #5).
+
+Launches TWO OS processes, each with 4 virtual CPU devices, joined through
+`jax.distributed.initialize` on a local coordinator (the HOIG_MULTIHOST
+path of train.py:41-55). Each runs the REAL `Train` driver over its
+ShardedSampler(num_shards=2) shard of a synthetic dataset; the train step
+executes on the 8-device GLOBAL mesh, so every optimizer update includes a
+cross-process gradient all-reduce. Assertions:
+
+  * both processes see process_count=2 and 8 global devices;
+  * final G params are IDENTICAL across processes — they start from the
+    same seed and train on DIFFERENT data shards, so equality holds only
+    if the cross-host all-reduce actually synchronized the gradients;
+  * checkpoint files exist exactly once (rank-0-only IO,
+    train_ddp.py:64,100-113 equivalent).
+
+Reference contract: HOIG_HOv3/train_ddp.py:28-29,64,100-113 (multi-process
+is the reference's only production mode).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+import numpy as np
+
+sys.path.insert(0, os.environ["HOIG_REPO"])
+import train as train_mod
+
+out_path = os.environ["HOIG_TEST_OUT"]
+ckpt_dir = os.environ["HOIG_TEST_CKPT"]
+
+t = train_mod.Train([
+    # --platform drives jax.config.update BEFORE jax.distributed.initialize
+    # (train.py:39-55); the JAX_PLATFORMS env var is ignored here because
+    # the environment auto-loads a TPU platform plugin (conftest.py note)
+    "--platform", "cpu",
+    "--dataset_mode", "synthetic", "--image_size", "64", "--batch_size", "1",
+    "--conv_dim", "8", "--repeat_num", "2", "--no_remat", "--use_spade",
+    "--synthetic_size", "16", "--num_data_devices", "4",
+    "--nepochs_no_decay", "1", "--nepochs_decay", "0",
+    "--checkpoints_dir", ckpt_dir, "--name", "mh",
+    "--print_freq_s", "100000", "--display_freq_s", "100000",
+    "--save_latest_freq_s", "100000",
+])
+
+import jax
+from jax.experimental import multihost_utils
+
+params = jax.tree.map(np.asarray, t._model._state.params_g)
+leaves = jax.tree_util.tree_leaves(params)
+digest = {
+    "process_index": jax.process_index(),
+    "process_count": jax.process_count(),
+    "n_devices": len(jax.devices()),
+    "n_local": len(jax.local_devices()),
+    "param_sum": float(sum(np.abs(l).sum() for l in leaves)),
+    "first_leaf": np.asarray(leaves[0]).ravel()[:5].tolist(),
+    "step": int(t._model._state.step),
+}
+with open(out_path, "w") as fp:
+    json.dump(digest, fp)
+multihost_utils.sync_global_devices("hoig-test-done")
+print("WORKER-OK", jax.process_index())
+"""
+
+
+def test_two_process_training_syncs_params(tmp_path):
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_dir = str(tmp_path / "ckpt")
+    worker_py = str(tmp_path / "worker.py")
+    with open(worker_py, "w") as fp:
+        fp.write(_WORKER)
+
+    procs, outs, logfiles = [], [], []
+    for rank in range(2):
+        out = str(tmp_path / f"digest_{rank}.json")
+        outs.append(out)
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_COMPILATION_CACHE_DIR="/tmp/hoig_xla_cache",
+            HOIG_MULTIHOST="1",
+            HOIG_COORDINATOR=f"localhost:{port}",
+            HOIG_NUM_PROCESSES="2",
+            HOIG_PROCESS_ID=str(rank),
+            HOIG_REPO=repo,
+            HOIG_TEST_OUT=out,
+            HOIG_TEST_CKPT=ckpt_dir,
+        )
+        # worker logs go to DISK (also kept on failure/timeout so the rank
+        # that died is diagnosable post-mortem; /tmp/hoig_mh_rank*.log)
+        lf = open(f"/tmp/hoig_mh_rank{rank}.log", "w")
+        logfiles.append(lf)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker_py],
+                env=env, stdout=lf, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    for p in procs:
+        try:
+            p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
+    for rank, (p, lf) in enumerate(zip(procs, logfiles)):
+        lf.close()
+        log = open(lf.name).read()
+        assert p.returncode == 0, f"rank {rank} failed:\n{log[-4000:]}"
+
+    digests = []
+    for out in outs:
+        with open(out) as fp:
+            digests.append(json.load(fp))
+
+    for d in digests:
+        assert d["process_count"] == 2
+        assert d["n_devices"] == 8 and d["n_local"] == 4
+        # 16 samples / 2 shards / per-process batch 4 = 2 steps
+        assert d["step"] == 2
+
+    # cross-process parameter identity == the all-reduce worked (each
+    # process consumed a DIFFERENT data shard)
+    assert digests[0]["param_sum"] == pytest.approx(
+        digests[1]["param_sum"], rel=1e-6
+    )
+    np.testing.assert_allclose(
+        digests[0]["first_leaf"], digests[1]["first_leaf"], rtol=1e-6
+    )
+
+    # rank-0-only checkpoint IO: files exist (written once, by the primary)
+    files = os.listdir(os.path.join(ckpt_dir, "mh"))
+    assert "net_epoch_1_id_G.ckpt" in files, files
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port

@@ -48,16 +48,24 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_dtype = x.dtype
+        out_dtype = compute_dtype() or in_dtype
         x32 = x.astype(jnp.float32)  # stats always in f32
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
         var = jnp.var(x32, axis=(1, 2), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        # fold the whole normalization into per-(sample,channel) scale and
+        # offset computed in f32, applied as ONE fused x*a+b in the compute
+        # dtype: under bf16 the big tensor is read/written once at half the
+        # bytes (the f32 path materialized an f32 intermediate); the casts
+        # fuse into the reduces, which XLA keeps in f32 regardless
+        a = jax.lax.rsqrt(var + self.eps)
+        b = -mean * a
         if self.affine:
             c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))
-            y = y * scale + bias
-        return y.astype(compute_dtype() or in_dtype)
+            a = a * scale
+            b = b * scale + bias
+        return x.astype(out_dtype) * a.astype(out_dtype) + b.astype(out_dtype)
 
 
 def conv(

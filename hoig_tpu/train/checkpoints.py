@@ -119,12 +119,25 @@ def load_generator_params(params_template, load_path: str, tcfg=None):
 
 
 def scan_latest_epoch(save_dir: str) -> int:
-    """Auto-resume scan (base_options.py:95-113)."""
+    """Auto-resume scan (base_options.py:95-113).
+
+    Only epochs whose COMPLETE file set (net+opt x G+D) is present count:
+    a run killed mid-save leaves a torn epoch (e.g. net files written, opt
+    files missing) that would brick every subsequent auto-resume; falling
+    back to the newest complete epoch makes resume crash-safe. (The
+    reference scans net files only and crashes on the torn load.)"""
     if not os.path.isdir(save_dir):
         return 0
-    latest = 0
+    epochs = set()
     for f in os.listdir(save_dir):
         m = re.match(r"net_epoch_(\d+)_", f)
         if m:
-            latest = max(latest, int(m.group(1)))
-    return latest
+            epochs.add(int(m.group(1)))
+    complete = [
+        e for e in epochs
+        if all(
+            os.path.exists(_path(save_dir, kind, e, net))
+            for kind in ("net", "opt") for net in ("G", "D")
+        )
+    ]
+    return max(complete, default=0)

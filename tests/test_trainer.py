@@ -126,6 +126,13 @@ def test_checkpoint_roundtrip_and_scan(setup):
                        _first(s1.opt_g[0].mu))
     assert int(restored.step) == int(s1.step)
 
+    # a run killed mid-save leaves a TORN epoch (net files written, opt
+    # files missing); the scan must fall back to the newest COMPLETE epoch
+    # instead of handing auto-resume an unloadable one
+    open(os.path.join(d, "net_epoch_9_id_G.ckpt"), "wb").close()
+    open(os.path.join(d, "net_epoch_9_id_D.ckpt"), "wb").close()
+    assert scan_latest_epoch(d) == 7
+
 
 def test_data_parallel_matches_single_device(setup):
     """8-virtual-device DP step == single-device step on the same batch."""

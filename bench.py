@@ -53,6 +53,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the Pallas attention kernels are minutes
+    # of Mosaic compile each; warm reruns skip every identical module
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hoig_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from hoig_tpu.data.synthetic import synthetic_batch, synthetic_environment
     from hoig_tpu.geometry.conditioning import ConditioningConfig, hand_recovery_flow
     from hoig_tpu.models.vgg import Vgg19Features

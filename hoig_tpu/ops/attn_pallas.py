@@ -59,16 +59,29 @@ def _round8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-def _row_tile(h: int, w: int) -> int:
-    """Rows per grid step: whole image when small, else bounded so the
-    f32 halo intermediates fit VMEM alongside the weights."""
-    if h <= 32:
+# Scoped-VMEM ceiling for the kernels (the compiler's 16MB default is far
+# below the v5e's 128MB and rejects the C=512 tiles; leave headroom for
+# Mosaic's own scratch).
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def _row_tile(h: int, w: int, c: int = 128) -> int:
+    """Rows per grid step, channel-aware: per-program working set (halo
+    band + 25 projected slices + accumulators) scales with W*C, and both
+    Mosaic compile time and the scoped-VMEM stack grow with it — wide
+    channels get shorter tiles. Multi-tile TH must be a multiple of 8:
+    the backward band DMAs index 2D field arrays at row i*TH, and DMA
+    offsets in a tiled (sublane) dim must be 8-aligned."""
+    budget = max(256, 1024 * 128 // max(c, 128))  # pixels per tile
+    if h * w <= budget:
         return h
-    budget = 2048  # pixels per tile (VMEM-sized: see module docstring)
-    th = max(8, budget // w)
-    while h % th:
-        th //= 2
-    return min(th, h)
+    cap = max(8, budget // w)
+    cands = [d for d in range(8, h + 1, 8) if h % d == 0 and d <= cap]
+    return max(cands) if cands else h
 
 
 def _offsets():
@@ -83,13 +96,12 @@ def _corner_shifts():
     ]
 
 
-def _coeff_fields(fy_rel, fx_rel, wy, wx):
-    """The 49 per-pixel corner coefficient fields Cyx[(ey,ex)] (f32).
+def _coeff_axes(fy_rel, fx_rel, wy, wx):
+    """Per-axis bilinear coefficient fields ay[e], ax[e] (f32).
 
     A bilinear sample with per-pixel floor f and fraction w puts weight
-    (1-w)*[f==e] + w*[f==e-1] on integer shift e (per axis); Cyx is the
-    outer product of the two axes. Only 4 of the 49 are nonzero per pixel.
-    """
+    (1-w)*[f==e] + w*[f==e-1] on integer shift e (per axis). Only 2 of
+    the 7 are nonzero per pixel per axis."""
     ay = {}
     ax = {}
     for e in range(EY_LO, EY_HI + 1):
@@ -99,11 +111,40 @@ def _coeff_fields(fy_rel, fx_rel, wy, wx):
         t0x = jnp.where(fx_rel == e, 1.0 - wx, 0.0) if FLOOR_LO <= e <= FLOOR_HI else 0.0
         t1x = jnp.where(fx_rel == e - 1, wx, 0.0) if FLOOR_LO <= e - 1 <= FLOOR_HI else 0.0
         ax[e] = t0x + t1x
-    return {
-        (ey, ex): ay[ey] * ax[ex]
-        for ey in range(EY_LO, EY_HI + 1)
-        for ex in range(EY_LO, EY_HI + 1)
-    }
+    return ay, ax
+
+
+def _vx_fields(attn_of, ax):
+    """Separable V build, x-axis half: Vx[(ty, dx)] = sum_ex ax[ex] *
+    attn_{(ty, dx-ex)} — 55 fields, <=7 terms each. The caller contracts
+    the y axis per total shift d (one V live at a time):
+    V_(dy,dx) = sum_ey ay[ey] * Vx[(dy-ey, dx)]."""
+    vx = {}
+    for ti, (ty, tx) in enumerate(_offsets()):
+        at = attn_of(ti)
+        for ex in range(EY_LO, EY_HI + 1):
+            key = (ty, tx + ex)
+            term = at * ax[ex]
+            vx[key] = term if key not in vx else vx[key] + term
+    return vx
+
+
+def _v_of(vx, ay, dy, dx, window=None):
+    """V_(dy,dx) from the separable halves; None when no term exists.
+    `window=(r0, c0, nrows, ncols)` builds only that slice (cheaper when
+    the caller immediately slices anyway)."""
+    vd = None
+    for ey in range(EY_LO, EY_HI + 1):
+        key = (dy - ey, dx)
+        if key in vx:
+            a_, v_ = ay[ey], vx[key]
+            if window is not None:
+                r0, c0, nr, nc = window
+                a_ = jax.lax.slice(a_, (r0, c0), (r0 + nr, c0 + nc))
+                v_ = jax.lax.slice(v_, (r0, c0), (r0 + nr, c0 + nc))
+            t2 = a_ * v_
+            vd = t2 if vd is None else vd + t2
+    return vd
 
 
 def _flow_fields(flow):
@@ -153,7 +194,7 @@ def _fwd_kernel(src_hbm, acc0_ref, fy_ref, fx_ref, wy_ref, wx_ref,
         src_hbm.at[bb, pl.ds(i * th, thp)], src_vmem, dma_sem
     )
     dma.start()
-    cyx = _coeff_fields(fy_ref[0], fx_ref[0], wy_ref[0], wx_ref[0])
+    ay, ax = _coeff_axes(fy_ref[0], fx_ref[0], wy_ref[0], wx_ref[0])
     dma.wait()
     src = src_vmem[:]  # (THP, WP, C)
 
@@ -181,7 +222,7 @@ def _fwd_kernel(src_hbm, acc0_ref, fy_ref, fx_ref, wy_ref, wx_ref,
         sl = jax.lax.slice(
             g_t, (halo + ey, halo + ex, 0), (halo + ey + th, halo + ex + w, F)
         )
-        acc = acc + cyx[(ey, ex)][:, :, None] * sl
+        acc = acc + (ay[ey] * ax[ex])[:, :, None] * sl
     acc_ref[0] = acc
 
     # phase B: leaky_relu -> 1x1 conv to K2 logits -> softmax (f32)
@@ -198,20 +239,20 @@ def _fwd_kernel(src_hbm, acc0_ref, fy_ref, fx_ref, wy_ref, wx_ref,
 
     # phase C: out[p] = (1/25) sum_d V_d[p] * src[p + d],
     #          V_d = sum_e Cyx[e] * attn_{d-e}
-    vfields = {}
-    for ti, (ty, tx) in enumerate(_offsets()):
-        at = attn[:, :, ti]
-        for (ey, ex) in _corner_shifts():
-            d = (ty + ey, tx + ex)
-            term = at * cyx[(ey, ex)]
-            vfields[d] = term if d not in vfields else vfields[d] + term
-
+    # built separably (x then y) with ONE V field live at a time — ~780
+    # scalar-field ops instead of 25*49, and a 10x smaller live set (the
+    # dense 121-field build made the Mosaic compile blow up)
+    vx = _vx_fields(lambda ti: attn[:, :, ti], ax)
     out = jnp.zeros((th, w, c), f32)
-    for (dy, dx), vd in vfields.items():
-        sl = jax.lax.slice(
-            src, (PAD + dy, PAD + dx, 0), (PAD + dy + th, PAD + dx + w, c)
-        ).astype(f32)
-        out = out + vd[:, :, None] * sl
+    for dy in range(-PAD, PAD + 1):
+        for dx in range(-PAD, PAD + 1):
+            vd = _v_of(vx, ay, dy, dx)
+            if vd is None:
+                continue
+            sl = jax.lax.slice(
+                src, (PAD + dy, PAD + dx, 0), (PAD + dy + th, PAD + dx + w, c)
+            ).astype(f32)
+            out = out + vd[:, :, None] * sl
     out_ref[0] = (out / (K * K)).astype(out_ref.dtype)
 
 
@@ -259,25 +300,24 @@ def _bwd_a_gsrc_kernel(gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm, w0s_ref,
     for d in dmas:
         d.wait()
 
-    cyx = _coeff_fields(
+    ay, ax = _coeff_axes(
         fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
         wy_buf[:], wx_buf[:],
     )
     gacc = gacc_buf[:]
 
     def gsp_rows(row0: int, nrows: int):
-        # dG on the +-R neighborhood of the strip, shared by all offsets
+        # dG on the +-R neighborhood of the strip, shared by all offsets;
+        # coefficient slices built inline (one live at a time)
         wide = w + 2 * PAD + 2 * R
         dg = jnp.zeros((nrows + 2 * R, wide, F), f32)
         for (ey, ex) in _corner_shifts():
             r0 = row0 - R - ey
             c0 = PAD - R - ex
-            csl = jax.lax.slice(
-                cyx[(ey, ex)], (r0, c0), (r0 + nrows + 2 * R, c0 + wide)
-            )
-            gsl = jax.lax.slice(
-                gacc, (r0, c0, 0), (r0 + nrows + 2 * R, c0 + wide, F)
-            )
+            lim = (r0 + nrows + 2 * R, c0 + wide)
+            csl = (jax.lax.slice(ay[ey], (r0, c0), lim)
+                   * jax.lax.slice(ax[ex], (r0, c0), lim))
+            gsl = jax.lax.slice(gacc, (r0, c0, 0), (*lim, F))
             dg = dg + csl[:, :, None] * gsl
         acc = jnp.zeros((nrows, w + 2 * PAD, c), f32)
         for ti, (ty, tx) in enumerate(_offsets()):
@@ -347,7 +387,7 @@ def _bwd_a_dw_kernel(src_hbm, gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
     def _():
         dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    cyx = _coeff_fields(
+    ay, ax = _coeff_axes(
         fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
         wy_buf[:], wx_buf[:],
     )
@@ -361,12 +401,10 @@ def _bwd_a_dw_kernel(src_hbm, gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
         for (ey, ex) in _corner_shifts():
             r0 = row0 - R - ey
             c0 = PAD - R - ex
-            csl = jax.lax.slice(
-                cyx[(ey, ex)], (r0, c0), (r0 + nrows + 2 * R, c0 + wide)
-            )
-            gsl = jax.lax.slice(
-                gacc, (r0, c0, 0), (r0 + nrows + 2 * R, c0 + wide, F)
-            )
+            lim = (r0 + nrows + 2 * R, c0 + wide)
+            csl = (jax.lax.slice(ay[ey], (r0, c0), lim)
+                   * jax.lax.slice(ax[ex], (r0, c0), lim))
+            gsl = jax.lax.slice(gacc, (r0, c0, 0), (*lim, F))
             dg = dg + csl[:, :, None] * gsl
         return dg
 
@@ -442,8 +480,11 @@ def _row_specs(th, w, lasts):
 # index the edge-padded canvas [0, H+2P) x [0, W+2P); image pixel (y, x)
 # sits at (y+P, x+P). Cotangent fields ((V.g_out), (Cyx.g_acc)) are ZERO
 # outside the image. Reverse-shift reads reach +-P beyond a tile's padded
-# band, so band inputs are DMA'd into MARGINED buffers: band content
-# [i*TH, i*TH+THP) x [0, WP) lives at buffer offset (P, P), zeros around.
+# band, so band inputs arrive PRE-MARGINED from the host (_pad_margined:
+# image content at offset (2P, 2P) inside (H+4P, WP2), zeros around) and
+# each tile DMAs rows [i*TH, i*TH+THP+2P) as ONE contiguous offset-free
+# copy — DMA destinations must be tile-aligned, so the old
+# copy-into-(P,P)-offset scheme cannot lower.
 # Buffer row br <-> pr = i*TH + (br - P); buffer col bc <-> px = bc - P.
 #
 # Gradient w.r.t. the un-padded source folds the edge-replicated margins
@@ -451,14 +492,20 @@ def _row_specs(th, w, lasts):
 # columns in every tile.
 
 
+def _pad_margined(x, wp2: int):
+    """Host-side margined band source: image content at offset (2P, 2P)
+    inside (..., H+4P, WP2[, last]) with zeros around (spatial axes 1, 2)."""
+    cfg = [(0, 0)] * x.ndim
+    cfg[1] = (2 * PAD, 2 * PAD)
+    cfg[2] = (2 * PAD, wp2 - x.shape[2] - 2 * PAD)
+    return jnp.pad(x, cfg)
+
+
 def _margin_dma(hbm, bb, i, th, buf, sem):
-    """Zero `buf` and DMA the (THP x WP) band into its (P, P) offset."""
-    thp = th + 2 * PAD
-    buf[:] = jnp.zeros(buf.shape, buf.dtype)
+    """DMA the tile's margined band (rows [i*TH, i*TH + THP + 2P) of the
+    _pad_margined array) straight into `buf` (full-buffer destination)."""
     dma = pltpu.make_async_copy(
-        hbm.at[bb, pl.ds(i * th, thp)],
-        buf.at[pl.ds(PAD, thp), pl.ds(PAD, hbm.shape[2])],
-        sem,
+        hbm.at[bb, pl.ds(i * th, buf.shape[0])], buf, sem
     )
     dma.start()
     return dma
@@ -526,34 +573,33 @@ def _bwd_c_kernel(src_hbm, gout_hbm, attn_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
         d.wait()
     d0.wait()
 
-    cyx = _coeff_fields(
+    ay, ax = _coeff_axes(
         fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
         wy_buf[:], wx_buf[:],
     )  # margined (THP+2P, WP2); garbage at margins, nulled by attn=0 there
     attn = attn_buf[:]
     gout = gout_buf[:].astype(f32)
 
-    # V_d on the margined extent (zero wherever attn is zero)
-    vfields = {}
-    for ti, (ty, tx) in enumerate(_offsets()):
-        at = attn[:, :, ti]
-        for (ey, ex) in _corner_shifts():
-            d = (ty + ey, tx + ex)
-            term = at * cyx[(ey, ex)]
-            vfields[d] = term if d not in vfields else vfields[d] + term
+    # separable V build on the margined extent (zero wherever attn is
+    # zero); one V_d live at a time — see the fwd kernel's phase C note
+    vx = _vx_fields(lambda ti: attn[:, :, ti], ax)
 
     def gsp_rows(row0: int, nrows: int):
         """g_srcpad strip for padded rows [i*TH + row0 - P, ...): row0 is
         the buffer-row offset of the strip (interior strip: row0=2P)."""
         acc = jnp.zeros((nrows, w + 2 * PAD, c), f32)
-        for (dy, dx), vd in vfields.items():
-            r0 = row0 - dy
-            c0 = PAD - dx
-            vsl = jax.lax.slice(vd, (r0, c0), (r0 + nrows, c0 + w + 2 * PAD))
-            gsl = jax.lax.slice(
-                gout, (r0, c0, 0), (r0 + nrows, c0 + w + 2 * PAD, c)
-            )
-            acc = acc + vsl[:, :, None] * gsl
+        for dy in range(-PAD, PAD + 1):
+            for dx in range(-PAD, PAD + 1):
+                r0 = row0 - dy
+                c0 = PAD - dx
+                vsl = _v_of(vx, ay, dy, dx,
+                            window=(r0, c0, nrows, w + 2 * PAD))
+                if vsl is None:
+                    continue
+                gsl = jax.lax.slice(
+                    gout, (r0, c0, 0), (r0 + nrows, c0 + w + 2 * PAD, c)
+                )
+                acc = acc + vsl[:, :, None] * gsl
         return acc
 
     gsrc = _fold_cols(gsp_rows(2 * PAD, th), th, w)
@@ -573,25 +619,35 @@ def _bwd_c_kernel(src_hbm, gout_hbm, attn_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
     )
     gsrc_ref[0] = (gsrc / (K * K)).astype(gsrc_ref.dtype)
 
-    # g_attn on the image tile
+    # g_attn on the image tile:
+    #   g_attn_t[p] = (1/K2) sum_e Cyx[e][p] . sdot[(t+e)][p],
+    #   sdot[d][p] = g_out[p] . src[p + d]
+    # contracted separably (x then y); sdots live one d-row at a time
     gout_c = _center(gout, th, w)
-    cyx_c = {e: _center(cy, th, w) for e, cy in cyx.items()}
-    gattn = [jnp.zeros((th, w), f32) for _ in range(K2)]
-    sdots = {}
-    for dy in range(-PAD, PAD + 1):
+    ay_c = {e: _center(a, th, w) for e, a in ay.items()}
+    ax_c = {e: _center(a, th, w) for e, a in ax.items()}
+    sx = {}  # Sx[(ry, tx)] = sum_ex ax[ex] * sdot[(ry, tx+ex)]
+    for ry in range(-PAD, PAD + 1):
+        row = {}
         for dx in range(-PAD, PAD + 1):
-            sdots[(dy, dx)] = None
-    for ti, (ty, tx) in enumerate(_offsets()):
-        for (ey, ex) in _corner_shifts():
-            d = (ty + ey, tx + ex)
-            if sdots[d] is None:
-                ssl = jax.lax.slice(
-                    src_vmem[:],
-                    (PAD + d[0], PAD + d[1], 0),
-                    (PAD + d[0] + th, PAD + d[1] + w, c),
-                ).astype(f32)
-                sdots[d] = jnp.sum(gout_c * ssl, axis=-1)
-            gattn[ti] = gattn[ti] + cyx_c[(ey, ex)] * sdots[d]
+            ssl = jax.lax.slice(
+                src_vmem[:], (PAD + ry, PAD + dx, 0),
+                (PAD + ry + th, PAD + dx + w, c),
+            ).astype(f32)
+            row[dx] = jnp.sum(gout_c * ssl, axis=-1)
+        for tx in range(-R, R + 1):
+            acc2 = None
+            for ex in range(EY_LO, EY_HI + 1):
+                t2 = ax_c[ex] * row[tx + ex]
+                acc2 = t2 if acc2 is None else acc2 + t2
+            sx[(ry, tx)] = acc2
+    gattn = []
+    for (ty, tx) in _offsets():
+        g_ = None
+        for ey in range(EY_LO, EY_HI + 1):
+            t2 = ay_c[ey] * sx[(ty + ey, tx)]
+            g_ = t2 if g_ is None else g_ + t2
+        gattn.append(g_)
     gattn_ref[0] = jnp.stack(gattn, axis=-1) / (K * K)
 
 
@@ -600,7 +656,7 @@ def _fwd_call(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
     """Forward pallas_call: returns (out, acc, attn) — acc/attn are the
     f32 residuals consumed by the custom VJP."""
     b, h, w, c = src.shape
-    th = _row_tile(h, w)
+    th = _row_tile(h, w, c)
     wp = _round8(w + 2 * PAD)
     thp = th + 2 * PAD
     src_pad = _pad_halo(src, 1, 2, wp, "edge")
@@ -631,13 +687,14 @@ def _fwd_call(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
+        compiler_params=_params(),
     )(src_pad, acc0, fy_rel, fx_rel, wy, wx, w0s, w1, b1)
     return out, acc, attn
 
 
 def _geom(src):
     b, h, w, c = src.shape
-    th = _row_tile(h, w)
+    th = _row_tile(h, w, c)
     return dict(
         b=b, h=h, w=w, c=c, th=th,
         wp=_round8(w + 2 * PAD),
@@ -659,12 +716,9 @@ def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
     f32 = jnp.float32
     fields, mrows, wp2 = _field_bufs(g)
     src_pad = _pad_halo(src, 1, 2, g["wp"], "edge")
-    gout_pad = _pad_halo(g_out.astype(src.dtype), 1, 2, g["wp"], "constant")
-    attn_pad = _pad_halo(attn, 1, 2, g["wp"], "constant")
-    pads = [
-        _pad_halo(x, 1, 2, g["wp"], "constant")
-        for x in (fy_rel, fx_rel, wy, wx)
-    ]
+    gout_pad = _pad_margined(g_out.astype(src.dtype), wp2)
+    attn_pad = _pad_margined(attn, wp2)
+    pads = [_pad_margined(x, wp2) for x in (fy_rel, fx_rel, wy, wx)]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     return pl.pallas_call(
         functools.partial(
@@ -686,6 +740,7 @@ def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
             pltpu.SemaphoreType.DMA((7,)),
         ],
         interpret=interpret,
+        compiler_params=_params(),
     )(src_pad, gout_pad, attn_pad, *pads)
 
 
@@ -695,11 +750,8 @@ def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
     f32 = jnp.float32
     fields, mrows, wp2 = _field_bufs(g)
     src_pad = _pad_halo(src, 1, 2, g["wp"], "edge")
-    gacc_pad = _pad_halo(g_acc, 1, 2, g["wp"], "constant")
-    pads = [
-        _pad_halo(x, 1, 2, g["wp"], "constant")
-        for x in (fy_rel, fx_rel, wy, wx)
-    ]
+    gacc_pad = _pad_margined(g_acc, wp2)
+    pads = [_pad_margined(x, wp2) for x in (fy_rel, fx_rel, wy, wx)]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     kw = dict(th=g["th"], h=g["h"], w=g["w"], wp=g["wp"], c=g["c"])
     gsrc_a = pl.pallas_call(
@@ -717,6 +769,7 @@ def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
             pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
+        compiler_params=_params(),
     )(gacc_pad, *pads, w0s)
     fields2, _, _ = _field_bufs(g)
     dw = pl.pallas_call(
@@ -733,6 +786,7 @@ def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
+        compiler_params=_params(),
     )(src_pad, gacc_pad, *pads)
     return gsrc_a, dw
 

@@ -211,17 +211,26 @@ class ExtractorAttn(nn.Module):
             s_ = jax.lax.slice_in_dim(padded, PAD + dy, PAD + dy + h, axis=1)
             return jax.lax.slice_in_dim(s_, PAD + dx, PAD + dx + w, axis=2)
 
-        # fc_0 source half: project FIRST (gather commutes with the channel
-        # contraction), then combine bounded shifts of the 128-wide
-        # projections — 4x fewer matmul FLOPs than the corner-stacked form
-        # and zero gathers: s^P_t[p] = sum_e Ay[ey]Ax[ex] P_t[p + t + e]
-        for ty, tx in offsets:
-            p_t = src_c @ w0c[ty + r, tx + r, c:]
-            p_pad = jnp.pad(
-                p_t, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)), mode="edge"
-            )
-            for (ey, ex), coeff in Axy.items():
-                acc = acc + coeff * shifted(p_pad, ty + ey, tx + ex)
+        # fc_0 source half via the conv-collapse identity: the bilinear
+        # coefficient fields do not depend on the offset t, so
+        #   sum_t sum_e Axy[e] * (src @ W_t)[p+t+e]
+        #     = sum_e Axy[e] * G[p+e],   G = 5x5 VALID corr of the
+        # edge-padded source with the source-half kernel — ONE MXU conv
+        # plus 49 F-wide shifted FMAs instead of 25 projections plus
+        # 25x49 FMAs (the 1225-term form measured SLOWER than the gather
+        # engine on TPU and exploded XLA compile time)
+        src_pad = jnp.pad(
+            src_c, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)), mode="edge"
+        )
+        halo = HI + 1  # 3: corner shifts span [LO, HI+1] = [-3, 3]
+        G = jax.lax.conv_general_dilated(
+            src_pad, w0c[:, :, c:], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, h+2*halo, w+2*halo, 128): G on the corner-shift halo
+        for (ey, ex), coeff in Axy.items():
+            gs = jax.lax.slice_in_dim(G, halo + ey, halo + ey + h, axis=1)
+            gs = jax.lax.slice_in_dim(gs, halo + ex, halo + ex + w, axis=2)
+            acc = acc + coeff * gs
 
         hdn = nn.leaky_relu(acc, negative_slope=0.01)
         logits = jnp.einsum("bhwf,fk->bhwk", hdn, w1[0, 0].astype(cd)) + b1.astype(cd)
@@ -229,23 +238,32 @@ class ExtractorAttn(nn.Module):
 
         # output half: out = mean_t attn_t * s_t regrouped per total shift
         # d: out[p] = sum_d V_d[p] * src[p + d],
-        # V_d = sum_t attn_t * Axy[d - t]
-        V = {}
+        # V_d = sum_t attn_t * Axy[d - t], built SEPARABLY (x then y, one
+        # V live at a time): Vx[(ty, dx)] = sum_ex Ax[ex] attn_(ty,dx-ex),
+        # V_(dy,dx) = sum_ey Ay[ey] Vx[(dy-ey, dx)] — ~780 small-field
+        # ops instead of 25x49
+        Vxf = {}
         for ty, tx in offsets:
             t_idx = (ty + r) * k + (tx + r)
             at = attn[..., t_idx : t_idx + 1]
-            for (ey, ex), coeff in Axy.items():
-                key = (ty + ey, tx + ex)
-                term = at * coeff
-                V[key] = term if key not in V else V[key] + term
+            for ex in range(LO, HI + 2):
+                key = (ty, tx + ex)
+                term = at * Ax[ex]
+                Vxf[key] = term if key not in Vxf else Vxf[key] + term
 
-        src_pad = jnp.pad(
-            src_c, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)), mode="edge"
-        )
         out = None
-        for (dy, dx), vd in V.items():
-            term = vd * shifted(src_pad, dy, dx)
-            out = term if out is None else out + term
+        for dy in range(-PAD, PAD + 1):
+            for dx in range(-PAD, PAD + 1):
+                vd = None
+                for ey in range(LO, HI + 2):
+                    kx = (dy - ey, dx)
+                    if kx in Vxf:
+                        t2 = Ay[ey] * Vxf[kx]
+                        vd = t2 if vd is None else vd + t2
+                if vd is None:
+                    continue
+                term = vd * shifted(src_pad, dy, dx)
+                out = term if out is None else out + term
         return (out / (k * k)).astype(source.dtype)
 
     def _pallas_engine(self, source, flow, acc, w0c, w1, b1, cd):

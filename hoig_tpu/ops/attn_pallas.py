@@ -59,10 +59,12 @@ def _round8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-# Scoped-VMEM ceiling for the kernels (the compiler's 16MB default is far
-# below the v5e's 128MB and rejects the C=512 tiles; leave headroom for
-# Mosaic's own scratch).
-_VMEM_LIMIT = 100 * 1024 * 1024
+# Scoped-VMEM ceiling for the kernels: the compiler's 16MB default
+# rejects the C=512 tiles, but the ceiling also feeds Mosaic's scheduler
+# appetite — 100MB let the backward schedule 152MB total (over the v5e's
+# 128MB capacity once buffers are added). 64MB forces tighter sequencing
+# while still fitting every tile the row-tiler emits.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _params():
@@ -147,6 +149,19 @@ def _v_of(vx, ay, dy, dx, window=None):
     return vd
 
 
+def _tie(x, dep):
+    """Serialize an accumulation loop: make the freshly-loaded operand `x`
+    depend on the running accumulator `dep` via an optimization barrier.
+
+    Without this, Mosaic treats the loop's loads as free to hoist and the
+    `acc = acc + term` chain as free to reassociate into a balanced tree
+    — every term stays live at once and the kernel needs >100MB of
+    register spill slots (measured). The barrier forces one term in
+    flight; VMEM loads are fast enough that the lost overlap is noise."""
+    x, _ = jax.lax.optimization_barrier((x, dep))
+    return x
+
+
 def _flow_fields(flow):
     """Per-pixel integer relative floors (clipped to the bounded range) and
     bilinear fractions, mirroring _gather_engine's index math (f32)."""
@@ -196,7 +211,12 @@ def _fwd_kernel(src_hbm, acc0_ref, fy_ref, fx_ref, wy_ref, wx_ref,
     dma.start()
     ay, ax = _coeff_axes(fy_ref[0], fx_ref[0], wy_ref[0], wx_ref[0])
     dma.wait()
-    src = src_vmem[:]  # (THP, WP, C)
+
+    # NOTE (register pressure): every loop below reads its slice THROUGH
+    # the VMEM ref at the use site instead of slicing one big loaded
+    # value — value slices get hoisted by the scheduler, keeping all 121
+    # shifted copies live at once (measured: 150MB of register spill
+    # slots in the backward's equivalent loop).
 
     # phase A: acc[p] += sum_t sum_e Cyx[e][p] * (src @ W_t)[p + t + e].
     # Cyx does not depend on t, so the t-sum collapses FIRST:
@@ -209,8 +229,9 @@ def _fwd_kernel(src_hbm, acc0_ref, fy_ref, fx_ref, wy_ref, wx_ref,
     for ti, (ty, tx) in enumerate(_offsets()):
         sy = PAD - halo + ty
         sx = PAD - halo + tx
-        sl = jax.lax.slice(
-            src, (sy, sx, 0), (sy + th + 2 * halo, sx + w + 2 * halo, c)
+        sl = _tie(
+            src_vmem[pl.ds(sy, th + 2 * halo), pl.ds(sx, w + 2 * halo), :],
+            g_t,
         )
         g_t = g_t + jax.lax.dot_general(
             sl, w0s_ref[ti],
@@ -242,6 +263,8 @@ def _fwd_kernel(src_hbm, acc0_ref, fy_ref, fx_ref, wy_ref, wx_ref,
     # built separably (x then y) with ONE V field live at a time — ~780
     # scalar-field ops instead of 25*49, and a 10x smaller live set (the
     # dense 121-field build made the Mosaic compile blow up)
+    # every load is _tie'd to the running accumulator: one term in
+    # flight instead of a reassociated tree with all 121 terms live
     vx = _vx_fields(lambda ti: attn[:, :, ti], ax)
     out = jnp.zeros((th, w, c), f32)
     for dy in range(-PAD, PAD + 1):
@@ -249,10 +272,11 @@ def _fwd_kernel(src_hbm, acc0_ref, fy_ref, fx_ref, wy_ref, wx_ref,
             vd = _v_of(vx, ay, dy, dx)
             if vd is None:
                 continue
-            sl = jax.lax.slice(
-                src, (PAD + dy, PAD + dx, 0), (PAD + dy + th, PAD + dx + w, c)
-            ).astype(f32)
-            out = out + vd[:, :, None] * sl
+            sl = _tie(src_vmem[pl.ds(PAD + dy, th), pl.ds(PAD + dx, w), :],
+                      out)
+            # product in the source dtype (bf16 in production): halves the
+            # vreg footprint; accumulation stays f32
+            out = out + vd[:, :, None].astype(sl.dtype) * sl
     out_ref[0] = (out / (K * K)).astype(out_ref.dtype)
 
 
@@ -300,15 +324,19 @@ def _bwd_a_gsrc_kernel(gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm, w0s_ref,
     for d in dmas:
         d.wait()
 
+    # field buffers are (8,128)-rounded for DMA legality; slice back to
+    # the common margined-band extent shared with the 4D bands
+    mr = th + 4 * PAD
+    w2 = _round8(wp + 2 * PAD)
     ay, ax = _coeff_axes(
-        fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
-        wy_buf[:], wx_buf[:],
+        fy_buf[:mr, :w2].astype(jnp.int32), fx_buf[:mr, :w2].astype(jnp.int32),
+        wy_buf[:mr, :w2], wx_buf[:mr, :w2],
     )
-    gacc = gacc_buf[:]
 
     def gsp_rows(row0: int, nrows: int):
         # dG on the +-R neighborhood of the strip, shared by all offsets;
-        # coefficient slices built inline (one live at a time)
+        # coefficient slices built inline, gacc read through the ref with
+        # every load _tie'd to the accumulator (register pressure)
         wide = w + 2 * PAD + 2 * R
         dg = jnp.zeros((nrows + 2 * R, wide, F), f32)
         for (ey, ex) in _corner_shifts():
@@ -317,13 +345,16 @@ def _bwd_a_gsrc_kernel(gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm, w0s_ref,
             lim = (r0 + nrows + 2 * R, c0 + wide)
             csl = (jax.lax.slice(ay[ey], (r0, c0), lim)
                    * jax.lax.slice(ax[ex], (r0, c0), lim))
-            gsl = jax.lax.slice(gacc, (r0, c0, 0), (*lim, F))
+            gsl = _tie(
+                gacc_buf[pl.ds(r0, nrows + 2 * R), pl.ds(c0, wide), :], dg
+            )
             dg = dg + csl[:, :, None] * gsl
         acc = jnp.zeros((nrows, w + 2 * PAD, c), f32)
         for ti, (ty, tx) in enumerate(_offsets()):
-            sl = jax.lax.slice(
-                dg, (R - ty, R - tx, 0),
-                (R - ty + nrows, R - tx + w + 2 * PAD, F),
+            sl = _tie(
+                jax.lax.slice(dg, (R - ty, R - tx, 0),
+                              (R - ty + nrows, R - tx + w + 2 * PAD, F)),
+                acc,
             )
             acc = acc + jax.lax.dot_general(
                 sl, w0s_ref[ti],
@@ -387,15 +418,19 @@ def _bwd_a_dw_kernel(src_hbm, gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
     def _():
         dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
+    # field buffers are (8,128)-rounded for DMA legality; slice back to
+    # the common margined-band extent shared with the 4D bands
+    mr = th + 4 * PAD
+    w2 = _round8(wp + 2 * PAD)
     ay, ax = _coeff_axes(
-        fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
-        wy_buf[:], wx_buf[:],
+        fy_buf[:mr, :w2].astype(jnp.int32), fx_buf[:mr, :w2].astype(jnp.int32),
+        wy_buf[:mr, :w2], wx_buf[:mr, :w2],
     )
-    gacc = gacc_buf[:]
 
     def dg_rows(row0: int, nrows: int):
         """dG[q] = sum_e (Cyx.gacc)[q-e] on the strip's +-R neighborhood;
-        E_t[m'] = dG[m'-t] for every offset (shared, as in the fwd)."""
+        E_t[m'] = dG[m'-t] for every offset (shared, as in the fwd);
+        every gacc load _tie'd to the accumulator (register pressure)."""
         wide = wp + 2 * R
         dg = jnp.zeros((nrows + 2 * R, wide, F), f32)
         for (ey, ex) in _corner_shifts():
@@ -404,7 +439,9 @@ def _bwd_a_dw_kernel(src_hbm, gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
             lim = (r0 + nrows + 2 * R, c0 + wide)
             csl = (jax.lax.slice(ay[ey], (r0, c0), lim)
                    * jax.lax.slice(ax[ex], (r0, c0), lim))
-            gsl = jax.lax.slice(gacc, (r0, c0, 0), (*lim, F))
+            gsl = _tie(
+                gacc_buf[pl.ds(r0, nrows + 2 * R), pl.ds(c0, wide), :], dg
+            )
             dg = dg + csl[:, :, None] * gsl
         return dg
 
@@ -492,12 +529,18 @@ def _row_specs(th, w, lasts):
 # columns in every tile.
 
 
-def _pad_margined(x, wp2: int):
+def _pad_margined(x, width: int, lane_to: int | None = None,
+                  extra_rows: int = 0):
     """Host-side margined band source: image content at offset (2P, 2P)
-    inside (..., H+4P, WP2[, last]) with zeros around (spatial axes 1, 2)."""
+    inside (..., H+4P+extra_rows, width[, last]) with zeros around
+    (spatial axes 1, 2). `lane_to` additionally pads a trailing channel
+    dim up to a DMA-legal lane extent (e.g. attn's 25 -> 128);
+    `extra_rows` absorbs the 8-rounded field-buffer row count."""
     cfg = [(0, 0)] * x.ndim
-    cfg[1] = (2 * PAD, 2 * PAD)
-    cfg[2] = (2 * PAD, wp2 - x.shape[2] - 2 * PAD)
+    cfg[1] = (2 * PAD, 2 * PAD + extra_rows)
+    cfg[2] = (2 * PAD, width - x.shape[2] - 2 * PAD)
+    if lane_to is not None:
+        cfg[3] = (0, lane_to - x.shape[3])
     return jnp.pad(x, cfg)
 
 
@@ -573,20 +616,28 @@ def _bwd_c_kernel(src_hbm, gout_hbm, attn_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
         d.wait()
     d0.wait()
 
+    # field buffers are (8,128)-rounded for DMA legality; slice back to
+    # the common margined-band extent shared with the 4D bands
+    mr = th + 4 * PAD
+    w2 = _round8(wp + 2 * PAD)
     ay, ax = _coeff_axes(
-        fy_buf[:].astype(jnp.int32), fx_buf[:].astype(jnp.int32),
-        wy_buf[:], wx_buf[:],
+        fy_buf[:mr, :w2].astype(jnp.int32), fx_buf[:mr, :w2].astype(jnp.int32),
+        wy_buf[:mr, :w2], wx_buf[:mr, :w2],
     )  # margined (THP+2P, WP2); garbage at margins, nulled by attn=0 there
-    attn = attn_buf[:]
-    gout = gout_buf[:].astype(f32)
 
     # separable V build on the margined extent (zero wherever attn is
-    # zero); one V_d live at a time — see the fwd kernel's phase C note
+    # zero); one V_d live at a time — see the fwd kernel's phase C note.
+    # gout/src are read through their refs at each use site: slicing a
+    # loaded value let the scheduler hoist all 121 shifted copies and
+    # spill 150MB of vregs.
+    attn = attn_buf[:mr, :w2, :]  # one small load; per-ti value slices
     vx = _vx_fields(lambda ti: attn[:, :, ti], ax)
 
     def gsp_rows(row0: int, nrows: int):
         """g_srcpad strip for padded rows [i*TH + row0 - P, ...): row0 is
-        the buffer-row offset of the strip (interior strip: row0=2P)."""
+        the buffer-row offset of the strip (interior strip: row0=2P).
+        Every gout load is _tie'd to the accumulator (register pressure);
+        products in the stored dtype (bf16 in production), f32 sum."""
         acc = jnp.zeros((nrows, w + 2 * PAD, c), f32)
         for dy in range(-PAD, PAD + 1):
             for dx in range(-PAD, PAD + 1):
@@ -596,10 +647,11 @@ def _bwd_c_kernel(src_hbm, gout_hbm, attn_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
                             window=(r0, c0, nrows, w + 2 * PAD))
                 if vsl is None:
                     continue
-                gsl = jax.lax.slice(
-                    gout, (r0, c0, 0), (r0 + nrows, c0 + w + 2 * PAD, c)
+                gsl = _tie(
+                    gout_buf[pl.ds(r0, nrows), pl.ds(c0, w + 2 * PAD), :],
+                    acc,
                 )
-                acc = acc + vsl[:, :, None] * gsl
+                acc = acc + vsl[:, :, None].astype(gsl.dtype) * gsl
         return acc
 
     gsrc = _fold_cols(gsp_rows(2 * PAD, th), th, w)
@@ -623,18 +675,21 @@ def _bwd_c_kernel(src_hbm, gout_hbm, attn_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
     #   g_attn_t[p] = (1/K2) sum_e Cyx[e][p] . sdot[(t+e)][p],
     #   sdot[d][p] = g_out[p] . src[p + d]
     # contracted separably (x then y); sdots live one d-row at a time
-    gout_c = _center(gout, th, w)
+    gout_c = gout_buf[pl.ds(2 * PAD, th), pl.ds(2 * PAD, w), :]
     ay_c = {e: _center(a, th, w) for e, a in ay.items()}
     ax_c = {e: _center(a, th, w) for e, a in ax.items()}
     sx = {}  # Sx[(ry, tx)] = sum_ex ax[ex] * sdot[(ry, tx+ex)]
+    tok = gout_c  # serialization token: each src load _tie'd to the
+    # previous reduction so only one C-wide product is in flight
     for ry in range(-PAD, PAD + 1):
         row = {}
         for dx in range(-PAD, PAD + 1):
-            ssl = jax.lax.slice(
-                src_vmem[:], (PAD + ry, PAD + dx, 0),
-                (PAD + ry + th, PAD + dx + w, c),
-            ).astype(f32)
-            row[dx] = jnp.sum(gout_c * ssl, axis=-1)
+            ssl = _tie(
+                src_vmem[pl.ds(PAD + ry, th), pl.ds(PAD + dx, w), :], tok
+            )
+            # bf16 products, f32 reduction
+            row[dx] = jnp.sum((gout_c * ssl).astype(f32), axis=-1)
+            tok = row[dx]
         for tx in range(-R, R + 1):
             acc2 = None
             for ex in range(EY_LO, EY_HI + 1):
@@ -703,22 +758,37 @@ def _geom(src):
     )
 
 
+def _round128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
 def _field_bufs(g):
+    """Margined-band buffer geometry. The 2D flow-field bands are widened
+    to a 128-multiple and their row count rounded to 8 (width is their
+    LANE dim and rows their SUBLANE dim; DMA'd memref slices must align
+    to the (8,128) tiling). The 4D bands keep (mrows, wp2): their rows
+    are an untiled outer dim and wp2 is already 8-aligned. The host pads
+    _pad_margined arrays with the row surplus so the last tile's
+    mrows8-row field copy stays in bounds."""
     mrows = g["thp"] + 2 * PAD
     wp2 = _round8(g["wp"] + 2 * PAD)
+    wpl = _round128(wp2)
+    mrows8 = _round8(mrows)
     f32 = jnp.float32
-    return [pltpu.VMEM((mrows, wp2), f32) for _ in range(4)], mrows, wp2
+    bufs = [pltpu.VMEM((mrows8, wpl), f32) for _ in range(4)]
+    return bufs, mrows, wp2, wpl, mrows8 - mrows
 
 
 def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
     """Phase-C backward kernels: (g_src_outputhalf, g_attn)."""
     g = _geom(src)
     f32 = jnp.float32
-    fields, mrows, wp2 = _field_bufs(g)
+    fields, mrows, wp2, wpl, xr = _field_bufs(g)
     src_pad = _pad_halo(src, 1, 2, g["wp"], "edge")
-    gout_pad = _pad_margined(g_out.astype(src.dtype), wp2)
-    attn_pad = _pad_margined(attn, wp2)
-    pads = [_pad_margined(x, wp2) for x in (fy_rel, fx_rel, wy, wx)]
+    gout_pad = _pad_margined(g_out.astype(src.dtype), wp2, extra_rows=xr)
+    attn_pad = _pad_margined(attn, wp2, lane_to=_round128(K2), extra_rows=xr)
+    pads = [_pad_margined(x, wpl, extra_rows=xr)
+            for x in (fy_rel, fx_rel, wy, wx)]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     return pl.pallas_call(
         functools.partial(
@@ -735,7 +805,7 @@ def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((g["thp"], g["wp"], g["c"]), src.dtype),
             pltpu.VMEM((mrows, wp2, g["c"]), src.dtype),
-            pltpu.VMEM((mrows, wp2, K2), f32),
+            pltpu.VMEM((mrows, wp2, _round128(K2)), f32),
             *fields,
             pltpu.SemaphoreType.DMA((7,)),
         ],
@@ -748,10 +818,11 @@ def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
     """Phase-A backward kernels: (g_src_fc0half, dW)."""
     g = _geom(src)
     f32 = jnp.float32
-    fields, mrows, wp2 = _field_bufs(g)
+    fields, mrows, wp2, wpl, xr = _field_bufs(g)
     src_pad = _pad_halo(src, 1, 2, g["wp"], "edge")
-    gacc_pad = _pad_margined(g_acc, wp2)
-    pads = [_pad_margined(x, wp2) for x in (fy_rel, fx_rel, wy, wx)]
+    gacc_pad = _pad_margined(g_acc, wp2, extra_rows=xr)
+    pads = [_pad_margined(x, wpl, extra_rows=xr)
+            for x in (fy_rel, fx_rel, wy, wx)]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     kw = dict(th=g["th"], h=g["h"], w=g["w"], wp=g["wp"], c=g["c"])
     gsrc_a = pl.pallas_call(
@@ -771,7 +842,7 @@ def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
         interpret=interpret,
         compiler_params=_params(),
     )(gacc_pad, *pads, w0s)
-    fields2, _, _ = _field_bufs(g)
+    fields2 = _field_bufs(g)[0]
     dw = pl.pallas_call(
         functools.partial(_bwd_a_dw_kernel, **kw),
         grid=g["grid"],

@@ -1,0 +1,93 @@
+"""Flagship-config mesh coverage (VERDICT r2 #6).
+
+The r2 dryrun proved the mesh contract on a toy config (conv_dim 8,
+repeat 2, S=64, no attention). This test runs ONE full data-parallel GAN
+step at the PRODUCTION architecture — generator_spade_attn, conv_dim 64,
+repeat 6, all 9 flow-guided attention layers, SPADE, full remat — at
+S=128 on the 8-virtual-device CPU mesh, and asserts it matches the
+single-device program: the sharded 'data' axis cuts through attention
+corner gathers, SPADE stats, InstanceNorm and the D-gated optimizer, and
+any partitioning bug shows up as a value difference, not just a crash.
+
+(S=128 instead of 256 keeps CPU compile tractable; architecture — layer
+count, channel widths, attention layers, remat structure — is exactly the
+flagship's. The spatial dim only scales the per-layer pixel count.)
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_flagship_step_data_parallel_matches_single_device():
+    from hoig_tpu.data.synthetic import synthetic_batch, synthetic_environment
+    from hoig_tpu.geometry.conditioning import ConditioningConfig
+    from hoig_tpu.models.vgg import Vgg19Features
+    from hoig_tpu.parallel import DataParallel, make_data_mesh
+    from hoig_tpu.train import TrainConfig, build_networks, init_state, make_train_step
+    from hoig_tpu.train.trainer import generator_kwargs
+    from hoig_tpu.geometry.conditioning import hand_recovery_flow
+
+    S = 128
+    B = 8  # one sample per virtual device
+    tables_np, mano, obj_verts = synthetic_environment(num_objects=2, image_size=S)
+    tables = tables_np.as_jax()
+    mano_params = mano.as_jax()
+    ccfg = ConditioningConfig(image_size=S)
+    # flagship architecture (scripts/train_hov3_ddp.sh config): conv_dim 64,
+    # repeat 6, spade+attn generator, full remat — only image_size differs
+    tcfg = TrainConfig(image_size=S)
+    assert tcfg.gen_name == "generator_spade_attn" and tcfg.conv_dim == 64
+
+    g, d = build_networks(tcfg)
+    vgg = Vgg19Features()
+    rng = jax.random.PRNGKey(0)
+    vgg_params = jax.jit(vgg.init)(rng, jnp.zeros((1, S, S, 3)))
+    batch = {
+        k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict) else jnp.asarray(v))
+        for k, v in synthetic_batch(B, obj_verts, image_size=S).items()
+    }
+
+    def gkw_of(b_):
+        flow = hand_recovery_flow(
+            tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
+            b_["manoB"], ccfg,
+        )
+        return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
+
+    shapes = jax.eval_shape(gkw_of, batch)
+    gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
+           for k, v in shapes.items()}
+    state = init_state(rng, g, d, tcfg, gkw, jnp.zeros((B, S, S, tcfg.d_input_nc)))
+    step_fn = make_train_step(g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg)
+
+    # single-device reference first (state is donated by the mesh step);
+    # pull everything to host numpy and drop the device buffers + compiled
+    # program before the 8-device leg — holding both legs' buffers and
+    # executables at once aborted the XLA:CPU runtime on a 128GB host
+    single = jax.jit(step_fn)
+    state1, metrics1 = single(state, batch, jnp.asarray(True))
+    jax.block_until_ready(state1.step)
+    metrics1 = {k: np.asarray(v) for k, v in metrics1.items()}
+    params1 = jax.tree.map(np.asarray, state1.params_g)
+    del state1, single
+    jax.clear_caches()
+
+    dp = DataParallel(step_fn, make_data_mesh(jax.devices()[:8]))
+    state8, metrics8 = dp.step(dp.replicate(state), batch, jnp.asarray(True))
+    jax.block_until_ready(state8.step)
+
+    for k in metrics1:
+        np.testing.assert_allclose(
+            metrics1[k], np.asarray(metrics8[k]),
+            rtol=2e-3, atol=2e-4, err_msg=k,
+        )
+    # parameter agreement after the update (covers the gradient psum path)
+    l1 = jax.tree_util.tree_leaves(params1)
+    l8 = jax.tree_util.tree_leaves(state8.params_g)
+    worst = max(
+        float(np.max(np.abs(a - np.asarray(b))))
+        for a, b in zip(l1, l8)
+    )
+    assert worst < 5e-5, f"max param delta {worst}"

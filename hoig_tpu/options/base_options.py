@@ -79,6 +79,12 @@ class BaseOptions:
         p.add_argument("--platform", type=str, default=None,
                        help="force a JAX platform (cpu/tpu); this environment "
                             "auto-selects the TPU plugin otherwise")
+        p.add_argument("--corner_engine", type=str, default="gather",
+                       choices=["gather", "shift", "pallas"],
+                       help="flow-attention corner engine: 'gather' (packed "
+                            "XLA row gathers), 'shift' (gather-free bounded "
+                            "shifts + conv-collapse), 'pallas' (fused VMEM "
+                            "kernel; TPU or interpret)")
         self._initialized = True
 
     def parse(self, args=None):

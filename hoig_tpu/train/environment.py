@@ -135,6 +135,7 @@ def train_config_from_opt(opt) -> TrainConfig:
             getattr(opt, "remat_bottleneck", False)
             or not getattr(opt, "bf16", False)
         ),
+        corner_engine=getattr(opt, "corner_engine", "gather"),
         image_size=opt.image_size,
         d_norm_type=opt.norm_type,
         lr_G=getattr(opt, "lr_G", 2e-4),

@@ -55,8 +55,9 @@ def main():
 
     # persistent compile cache: the Pallas attention kernels are minutes
     # of Mosaic compile each; warm reruns skip every identical module
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hoig_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from hoig_tpu.utils.cache import enable as _enable_cache
+
+    _enable_cache(jax)
 
     from hoig_tpu.data.synthetic import synthetic_batch, synthetic_environment
     from hoig_tpu.geometry.conditioning import ConditioningConfig, hand_recovery_flow

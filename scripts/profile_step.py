@@ -168,8 +168,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hoig_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from hoig_tpu.utils.cache import enable as _enable_cache
+
+    _enable_cache(jax)
 
     run_once, state = build_step(args.dtype, args.engine, args.batch, args.leg)
     t0 = time.time()

@@ -23,8 +23,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is compile-bound (~25 min cold); warm
 # reruns skip identical XLA compilations entirely.
-jax.config.update("jax_compilation_cache_dir", "/tmp/hoig_xla_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from hoig_tpu.utils.cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(jax)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -28,6 +28,8 @@ import tempfile
 import numpy as np
 import pytest
 
+from hoig_tpu.utils.cache import cache_dir as _cache_dir
+
 _WORKER = r"""
 import json, os, sys
 import numpy as np
@@ -89,7 +91,7 @@ def test_two_process_training_syncs_params(tmp_path):
         env.update(
             JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=4",
-            JAX_COMPILATION_CACHE_DIR="/tmp/hoig_xla_cache",
+            JAX_COMPILATION_CACHE_DIR=_cache_dir(),
             HOIG_MULTIHOST="1",
             HOIG_COORDINATOR=f"localhost:{port}",
             HOIG_NUM_PROCESSES="2",

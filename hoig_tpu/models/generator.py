@@ -279,6 +279,14 @@ class ExtractorAttn(nn.Module):
         if self.kernel_size != 5:  # kernel is specialized to k=5
             raise NotImplementedError("pallas corner engine requires k=5")
         b, h, w, c = source.shape
+        if jax.default_backend() == "tpu" and c % 128:
+            # Mosaic DMA lane extents must be 128-multiples; tiny configs
+            # (e.g. conv_dim 8 smokes) should use the XLA engines
+            raise ValueError(
+                f"pallas corner engine needs channels % 128 == 0 on TPU "
+                f"(got {c}); use --corner_engine gather/shift for small "
+                f"conv_dim configs"
+            )
         f32 = jnp.float32
         fy_rel, fx_rel, wyf, wxf = _flow_fields(flow)
         w0s = w0c[:, :, c:, :].reshape(self.kernel_size ** 2, c, 128)

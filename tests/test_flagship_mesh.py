@@ -21,6 +21,20 @@ import jax.numpy as jnp
 
 
 def test_flagship_step_data_parallel_matches_single_device():
+    # This program is the one known case where a PERSISTED XLA:CPU AOT
+    # executable aborts on reload ('Fatal Python error: Aborted' inside
+    # block_until_ready; the identical program passes when compiled
+    # in-process — reproduced twice). Compile fresh; skip the cache.
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        _run_flagship_mesh_check()
+    finally:
+        from hoig_tpu.utils.cache import enable
+
+        enable(jax)
+
+
+def _run_flagship_mesh_check():
     from hoig_tpu.data.synthetic import synthetic_batch, synthetic_environment
     from hoig_tpu.geometry.conditioning import ConditioningConfig
     from hoig_tpu.models.vgg import Vgg19Features

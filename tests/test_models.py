@@ -125,6 +125,47 @@ def test_generator_variants_forward(gen_name, rng):
     assert 0.0 <= np.asarray(outs[4]).min() and np.asarray(outs[4]).max() <= 1.0
 
 
+def test_generator_corner_engines_agree(rng):
+    """All three corner engines must produce the same full-Generator
+    forward from identical params (engines share the param structure, so
+    checkpoints and converted reference weights are engine-portable)."""
+    S, B = 32, 2
+    kw = dict(
+        bg_inputs=jnp.asarray(rng.rand(B, S, S, 4), jnp.float32),
+        src_obj_inputs=jnp.asarray(rng.rand(B, S, S, 3), jnp.float32),
+        tsf_obj_inputs=jnp.asarray(rng.rand(B, S, S, 3), jnp.float32),
+        src_hand_inputs=jnp.asarray(rng.rand(B, S, S, 3), jnp.float32),
+        tsf_hand_inputs=jnp.asarray(rng.rand(B, S, S, 3), jnp.float32),
+        # in-contract flow range (see ExtractorAttn engine notes)
+        T=jnp.asarray(rng.rand(B, S, S, 2) * 2.0 - 1.0, jnp.float32),
+        src_obj_conds=jnp.asarray(rng.rand(B, S, S, 12), jnp.float32),
+        src_hand_conds=jnp.asarray(rng.rand(B, S, S, 3), jnp.float32),
+        tsf_obj_conds=jnp.asarray(rng.rand(B, S, S, 12), jnp.float32),
+        tsf_hand_conds=jnp.asarray(rng.rand(B, S, S, 3), jnp.float32),
+        src_armask=jnp.zeros((B, S, S, 1)),
+        tsf_armask=jnp.zeros((B, S, S, 1)),
+    )
+
+    def build(engine):
+        return NetworksFactory.get_by_name(
+            "generator_spade_attn", bg_dim=8, img_dim=3, obj_dim=3,
+            img_cond_dim=3, obj_cond_dim=12, conv_dim=16, repeat_num=2,
+            remat=False, corner_engine=engine,
+        )
+
+    g0 = build("gather")
+    params = g0.init(jax.random.PRNGKey(3), **kw)
+    with jax.default_matmul_precision("highest"):
+        ref = g0.apply(params, **kw)
+        for engine in ("shift", "pallas"):
+            outs = build(engine).apply(params, **kw)
+            for i, (a, b) in enumerate(zip(ref, outs)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5,
+                    err_msg=f"{engine} output {i}",
+                )
+
+
 def test_extractor_attn_shapes(rng):
     m = ExtractorAttn(kernel_size=5)
     x = jnp.asarray(rng.randn(1, 8, 8, 6).astype(np.float32))

@@ -308,6 +308,11 @@ def _bwd_a_gsrc_kernel(gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm, w0s_ref,
     cotangent (dG, shared by all 25 offsets — the transpose of the
     forward's collapsed correlation), projected back through each
     offset's weight slice.
+
+    Channel-chunked over grid dim 2: `c` is the CHUNK width; the w0s
+    block and the gsrc output block are chunk-indexed by the BlockSpecs,
+    and dG (F-wide, channel-independent) is recomputed per chunk (49
+    cheap FMAs — far below the register/VMEM cost of a full-width body).
     """
     f32 = jnp.float32
     bb = pl.program_id(0)
@@ -391,16 +396,22 @@ def _bwd_a_dw_kernel(src_hbm, gacc_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
     additionally owns the top pad rows [0, P) and the last tile the bottom
     pad rows [H+P, H+2P) (their out-of-canvas reads hit the margin zeros,
     which are correct there). dW accumulates across grid steps in the
-    revisited (constant-index) output block.
+    revisited output block.
+
+    Channel-chunked over grid dim 0 (OUTERMOST: the (b, i) accumulation
+    sweep into each chunk's dw block must be the consecutive revisits);
+    `c` is the CHUNK width.
     """
     f32 = jnp.float32
-    bb = pl.program_id(0)
-    i = pl.program_id(1)
-    n_i = pl.num_programs(1)
+    cc = pl.program_id(0)
+    bb = pl.program_id(1)
+    i = pl.program_id(2)
+    n_i = pl.num_programs(2)
     thp = th + 2 * PAD
 
     d0 = pltpu.make_async_copy(
-        src_hbm.at[bb, pl.ds(i * th, thp)], src_vmem, sems.at[0]
+        src_hbm.at[bb, pl.ds(i * th, thp), slice(None), pl.ds(cc * c, c)],
+        src_vmem, sems.at[0],
     )
     d0.start()
     dmas = [
@@ -544,12 +555,19 @@ def _pad_margined(x, width: int, lane_to: int | None = None,
     return jnp.pad(x, cfg)
 
 
-def _margin_dma(hbm, bb, i, th, buf, sem):
+def _margin_dma(hbm, bb, i, th, buf, sem, cc=None):
     """DMA the tile's margined band (rows [i*TH, i*TH + THP + 2P) of the
-    _pad_margined array) straight into `buf` (full-buffer destination)."""
-    dma = pltpu.make_async_copy(
-        hbm.at[bb, pl.ds(i * th, buf.shape[0])], buf, sem
-    )
+    _pad_margined array) straight into `buf` (full-buffer destination).
+    `cc` selects a channel chunk of buf.shape[-1] lanes (lane offsets are
+    128-multiples by construction: chunks only exist when C % 128 == 0)."""
+    if cc is None:
+        src = hbm.at[bb, pl.ds(i * th, buf.shape[0])]
+    else:
+        src = hbm.at[
+            bb, pl.ds(i * th, buf.shape[0]), slice(None),
+            pl.ds(cc * buf.shape[2], buf.shape[2]),
+        ]
+    dma = pltpu.make_async_copy(src, buf, sem)
     dma.start()
     return dma
 
@@ -597,15 +615,17 @@ def _bwd_c_kernel(src_hbm, gout_hbm, attn_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
     f32 = jnp.float32
     bb = pl.program_id(0)
     i = pl.program_id(1)
+    cc = pl.program_id(2)  # channel chunk (c is the CHUNK width here)
     n_i = pl.num_programs(1)
     thp = th + 2 * PAD
 
     d0 = pltpu.make_async_copy(
-        src_hbm.at[bb, pl.ds(i * th, thp)], src_vmem, sems.at[0]
+        src_hbm.at[bb, pl.ds(i * th, thp), slice(None), pl.ds(cc * c, c)],
+        src_vmem, sems.at[0],
     )
     d0.start()
     dmas = [
-        _margin_dma(gout_hbm, bb, i, th, gout_buf, sems.at[1]),
+        _margin_dma(gout_hbm, bb, i, th, gout_buf, sems.at[1], cc=cc),
         _margin_dma(attn_hbm, bb, i, th, attn_buf, sems.at[2]),
         _margin_dma(fy_hbm, bb, i, th, fy_buf, sems.at[3]),
         _margin_dma(fx_hbm, bb, i, th, fx_buf, sems.at[4]),
@@ -703,7 +723,14 @@ def _bwd_c_kernel(src_hbm, gout_hbm, attn_hbm, fy_hbm, fx_hbm, wy_hbm, wx_hbm,
             t2 = ay_c[ey] * sx[(ty + ey, tx)]
             g_ = t2 if g_ is None else g_ + t2
         gattn.append(g_)
-    gattn_ref[0] = jnp.stack(gattn, axis=-1) / (K * K)
+    # g_attn sums over ALL channels; partial (per-chunk) contributions
+    # accumulate in the revisited output block (cc is the innermost grid
+    # dim, so the revisits are consecutive)
+    @pl.when(cc == 0)
+    def _():
+        gattn_ref[...] = jnp.zeros(gattn_ref.shape, gattn_ref.dtype)
+
+    gattn_ref[0] = gattn_ref[0] + jnp.stack(gattn, axis=-1) / (K * K)
 
 
 def _fwd_call(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
@@ -750,8 +777,12 @@ def _fwd_call(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
 def _geom(src):
     b, h, w, c = src.shape
     th = _row_tile(h, w, c)
+    # backward kernels are channel-chunked: cw is the per-program chunk
+    # width (full width when C is not a multiple of 128 — tiny CPU/test
+    # configs — or C == 128)
+    cw = 128 if (c % 128 == 0 and c > 128) else c
     return dict(
-        b=b, h=h, w=w, c=c, th=th,
+        b=b, h=h, w=w, c=c, th=th, cw=cw, n_cc=c // cw,
         wp=_round8(w + 2 * PAD),
         thp=th + 2 * PAD,
         grid=(b, h // th),
@@ -790,21 +821,29 @@ def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
     pads = [_pad_margined(x, wpl, extra_rows=xr)
             for x in (fy_rel, fx_rel, wy, wx)]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    cw = g["cw"]
     return pl.pallas_call(
         functools.partial(
             _bwd_c_kernel, th=g["th"], h=g["h"], w=g["w"], wp=g["wp"],
-            c=g["c"],
+            c=cw,
         ),
-        grid=g["grid"],
+        grid=(*g["grid"], g["n_cc"]),  # cc innermost: gattn revisits
         in_specs=[any_spec] * 7,
-        out_specs=_row_specs(g["th"], g["w"], [g["c"], K2]),
+        out_specs=[
+            pl.BlockSpec((1, g["th"], g["w"], cw),
+                         lambda bb, i, cc: (bb, i, 0, cc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g["th"], g["w"], K2),
+                         lambda bb, i, cc: (bb, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((g["b"], g["h"], g["w"], g["c"]), f32),
             jax.ShapeDtypeStruct((g["b"], g["h"], g["w"], K2), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((g["thp"], g["wp"], g["c"]), src.dtype),
-            pltpu.VMEM((mrows, wp2, g["c"]), src.dtype),
+            pltpu.VMEM((g["thp"], g["wp"], cw), src.dtype),
+            pltpu.VMEM((mrows, wp2, cw), src.dtype),
             pltpu.VMEM((mrows, wp2, _round128(K2)), f32),
             *fields,
             pltpu.SemaphoreType.DMA((7,)),
@@ -824,15 +863,18 @@ def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
     pads = [_pad_margined(x, wpl, extra_rows=xr)
             for x in (fy_rel, fx_rel, wy, wx)]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    kw = dict(th=g["th"], h=g["h"], w=g["w"], wp=g["wp"], c=g["c"])
+    cw = g["cw"]
+    kw = dict(th=g["th"], h=g["h"], w=g["w"], wp=g["wp"], c=cw)
     gsrc_a = pl.pallas_call(
         functools.partial(_bwd_a_gsrc_kernel, **kw),
-        grid=g["grid"],
+        grid=(*g["grid"], g["n_cc"]),
         in_specs=[any_spec] * 5 + [
-            pl.BlockSpec((K2, g["c"], F), lambda bb, i: (0, 0, 0),
+            pl.BlockSpec((K2, cw, F), lambda bb, i, cc: (0, cc, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=_row_specs(g["th"], g["w"], [g["c"]])[0],
+        out_specs=pl.BlockSpec((1, g["th"], g["w"], cw),
+                               lambda bb, i, cc: (bb, i, 0, cc),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g["b"], g["h"], g["w"], g["c"]), f32),
         scratch_shapes=[
             pltpu.VMEM((mrows, wp2, F), f32),
@@ -845,13 +887,15 @@ def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
     fields2 = _field_bufs(g)[0]
     dw = pl.pallas_call(
         functools.partial(_bwd_a_dw_kernel, **kw),
-        grid=g["grid"],
+        # cc OUTERMOST: each chunk's dw block accumulates over the (b, i)
+        # sweep as consecutive revisits
+        grid=(g["n_cc"], *g["grid"]),
         in_specs=[any_spec] * 6,
-        out_specs=pl.BlockSpec((K2, g["c"], F), lambda bb, i: (0, 0, 0),
+        out_specs=pl.BlockSpec((K2, cw, F), lambda cc, bb, i: (0, cc, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K2, g["c"], F), f32),
         scratch_shapes=[
-            pltpu.VMEM((g["thp"], g["wp"], g["c"]), src.dtype),
+            pltpu.VMEM((g["thp"], g["wp"], cw), src.dtype),
             pltpu.VMEM((mrows, wp2, F), f32),
             *fields2,
             pltpu.SemaphoreType.DMA((6,)),

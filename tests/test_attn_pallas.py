@@ -124,6 +124,28 @@ def test_gradients_match_oracle(rng):
         )
 
 
+def test_gradients_match_oracle_multichunk(rng):
+    # c=256 exercises the channel-chunked backward grid (two 128 chunks):
+    # per-chunk gsrc blocks, dW accumulation over the (b, i) sweep per
+    # chunk, and gattn accumulation over chunks
+    b, h, w, c = 1, 8, 8, 256
+    src, acc0, w0s, w1, b1, flow = make_inputs(rng, b, h, w, c)
+    cot = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+
+    def loss(fn):
+        def f(src, acc0, w0s, w1, b1):
+            return jnp.sum(fn(src, acc0, w0s, w1, b1, flow) * cot)
+        return f
+
+    g_fused = jax.grad(loss(fused), argnums=(0, 2, 3))(src, acc0, w0s, w1, b1)
+    g_ora = jax.grad(loss(oracle), argnums=(0, 2, 3))(src, acc0, w0s, w1, b1)
+    for n, gf, go in zip(["src", "w0s", "w1"], g_fused, g_ora):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(go), rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch: {n}",
+        )
+
+
 def test_gradients_match_oracle_multitile(rng):
     # th < h exercises the cross-tile margin folds in every backward kernel
     b, h, w, c = 1, 48, 48, 8

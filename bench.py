@@ -37,6 +37,7 @@ accordingly).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -50,6 +51,16 @@ def log(msg):
 
 
 def main():
+    # A/B overrides (default = the measured production config):
+    #   HOIG_BENCH_ENGINE=gather|shift|pallas   corner engine for all legs
+    #   HOIG_BENCH_XLA_FLAGS="--xla_..."        appended before jax import
+    engine = os.environ.get("HOIG_BENCH_ENGINE", "gather")
+    extra_flags = os.environ.get("HOIG_BENCH_XLA_FLAGS")
+    if extra_flags:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + extra_flags
+        ).strip()
+
     import jax
     import jax.numpy as jnp
 
@@ -154,8 +165,13 @@ def main():
     # production config: bf16 compute, selective remat (bottleneck +
     # attention activations stored) — what environment.py auto-selects
     bf16_cfg = dict(
-        compute_dtype=jnp.bfloat16, remat_bottleneck=False, remat_attn=False
+        compute_dtype=jnp.bfloat16, remat_bottleneck=False, remat_attn=False,
+        corner_engine=engine,
     )
+    if engine != "gather":
+        details["corner_engine"] = engine
+    if extra_flags:
+        details["extra_xla_flags"] = extra_flags
 
     # generator forward (BASELINE.md's second metric) + model FLOPs —
     # measured in the SAME bf16 production config as the headline so the

@@ -164,7 +164,18 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--time_only", action="store_true",
+                    help="skip the xplane trace: compile + 10-step timing "
+                    "(fast A/B of engines / XLA flags)")
+    ap.add_argument("--xla_flags", default=None,
+                    help="appended to XLA_FLAGS before jax import, e.g. "
+                    "'--xla_tpu_run_space_to_batch=false'")
     args = ap.parse_args()
+
+    if args.xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + args.xla_flags
+        ).strip()
 
     import jax
 
@@ -180,6 +191,17 @@ def main():
     t0 = time.time()
     state = run_once(state)
     print(f"steady step {time.time()-t0:.3f}s", file=sys.stderr)
+
+    if args.time_only:
+        n = 10
+        t0 = time.time()
+        for _ in range(n):
+            state = run_once(state)
+        dt = (time.time() - t0) / n
+        print(f"TIME {args.leg} {args.dtype} engine={args.engine} "
+              f"b={args.batch}: {dt*1e3:.1f} ms/step "
+              f"({args.batch/dt:.2f} img/s)")
+        return
 
     log_dir = args.out or tempfile.mkdtemp(prefix="hoig_prof_")
     jax.profiler.start_trace(log_dir)

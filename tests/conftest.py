@@ -14,9 +14,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU aborts the process (F-level check, rendezvous.cc) when the 8
+# virtual-device threads don't all reach a collective within 40s — on a
+# low-core host running the flagship-config mesh test, the shards execute
+# nearly serially and the last thread can be minutes behind. Raise the
+# limit so capacity never masquerades as a partitioning bug.
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -12,6 +12,11 @@ any partitioning bug shows up as a value difference, not just a crash.
 (S=128 instead of 256 keeps CPU compile tractable; architecture — layer
 count, channel widths, attention layers, remat structure — is exactly the
 flagship's. The spatial dim only scales the per-layer pixel count.)
+
+On low-core hosts the 8 virtual-device threads execute nearly serially
+and XLA:CPU's 40s collective rendezvous F-check would abort the process;
+tests/conftest.py raises xla_cpu_collective_timeout_seconds for the whole
+suite.
 """
 
 import numpy as np
@@ -97,11 +102,26 @@ def _run_flagship_mesh_check():
             metrics1[k], np.asarray(metrics8[k]),
             rtol=2e-3, atol=2e-4, err_msg=k,
         )
-    # parameter agreement after the update (covers the gradient psum path)
-    l1 = jax.tree_util.tree_leaves(params1)
-    l8 = jax.tree_util.tree_leaves(state8.params_g)
-    worst = max(
-        float(np.max(np.abs(a - np.asarray(b))))
-        for a, b in zip(l1, l8)
+    # parameter agreement after the update (covers the gradient psum path).
+    # Two-tier bound: Adam's bias-corrected FIRST step is lr*g/(|g|+eps) =
+    # +-lr for ANY nonzero gradient, so an element whose true gradient is
+    # ~0 (dead head, cancelled term) can flip sign purely from the 8-way
+    # psum reduction order and land 2*lr away from the single-device
+    # result. That is reduction-order noise, not a partitioning bug — a
+    # real sharding bug perturbs gradients of ordinary magnitude, which
+    # the bulk quantile catches.
+    lr = float(tcfg.lr_G)
+    deltas = np.concatenate([
+        np.abs(a - np.asarray(b)).ravel()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params1),
+            jax.tree_util.tree_leaves(state8.params_g),
+        )
+    ])
+    worst = float(deltas.max())
+    assert worst <= 2.05 * lr, f"max param delta {worst} > 2*lr sign-flip bound"
+    frac_big = float((deltas > 5e-5).mean())
+    assert frac_big < 1e-3, (
+        f"{frac_big:.2%} of params moved >5e-5 between the single-device "
+        f"and 8-device programs (sign-flip outliers must be rare)"
     )
-    assert worst < 5e-5, f"max param delta {worst}"

@@ -54,7 +54,11 @@ def main():
     # A/B overrides (default = the measured production config):
     #   HOIG_BENCH_ENGINE=gather|shift|pallas   corner engine for all legs
     #   HOIG_BENCH_XLA_FLAGS="--xla_..."        appended before jax import
+    #   HOIG_BENCH_HEADLINE_ONLY=1              skip gen-fwd + diagnostic
+    #       legs (each is a ~20min cold compile on the remote-compile
+    #       tunnel; A/B sweeps only need the headline train step)
     engine = os.environ.get("HOIG_BENCH_ENGINE", "gather")
+    headline_only = os.environ.get("HOIG_BENCH_HEADLINE_ONLY") == "1"
     extra_flags = os.environ.get("HOIG_BENCH_XLA_FLAGS")
     if extra_flags:
         os.environ["XLA_FLAGS"] = (
@@ -172,6 +176,24 @@ def main():
         details["corner_engine"] = engine
     if extra_flags:
         details["extra_xla_flags"] = extra_flags
+
+    if headline_only:
+        # A/B mode: time ONLY the headline train step. vs_baseline uses the
+        # standing derived estimate (16.25 A100 img/s, see BENCH_DETAILS of
+        # a full run) instead of re-deriving FLOPs from a fresh gen-fwd
+        # compile.
+        value = bench_step("train_bf16", TrainConfig(image_size=S, **bf16_cfg))
+        # do not clobber the full run's BENCH_DETAILS.json from an A/B sweep
+        with open("BENCH_AB.json", "a") as fp:
+            json.dump(details, fp)
+            fp.write("\n")
+        print(json.dumps({
+            "metric": "hogan_train_step_images_per_sec_per_chip_256_bf16",
+            "value": round(value, 3), "unit": "images/sec/chip",
+            "vs_baseline": round(value / 16.25, 3),
+        }), flush=True)
+        log(json.dumps(details, indent=1))
+        return
 
     # generator forward (BASELINE.md's second metric) + model FLOPs —
     # measured in the SAME bf16 production config as the headline so the

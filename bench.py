@@ -52,12 +52,14 @@ def log(msg):
 
 def main():
     # A/B overrides (default = the measured production config):
-    #   HOIG_BENCH_ENGINE=gather|shift|pallas   corner engine for all legs
+    #   HOIG_BENCH_ENGINE=auto|gather|shift|pallas  corner engine for the
+    #       bf16 legs (auto = measured best: shift); the fp32 diagnostic
+    #       leg keeps its own measured best (gather)
     #   HOIG_BENCH_XLA_FLAGS="--xla_..."        appended before jax import
     #   HOIG_BENCH_HEADLINE_ONLY=1              skip gen-fwd + diagnostic
     #       legs (each is a ~20min cold compile on the remote-compile
     #       tunnel; A/B sweeps only need the headline train step)
-    engine = os.environ.get("HOIG_BENCH_ENGINE", "gather")
+    engine = os.environ.get("HOIG_BENCH_ENGINE", "auto")
     headline_only = os.environ.get("HOIG_BENCH_HEADLINE_ONLY") == "1"
     extra_flags = os.environ.get("HOIG_BENCH_XLA_FLAGS")
     if extra_flags:
@@ -167,13 +169,16 @@ def main():
         return ips
 
     # production config: bf16 compute, selective remat (bottleneck +
-    # attention activations stored) — what environment.py auto-selects
+    # attention activations stored), shift corner engine — what
+    # environment.py auto-selects under --bf16
+    from hoig_tpu.train.environment import resolve_corner_engine
+
+    engine = resolve_corner_engine(engine, bf16=True)
     bf16_cfg = dict(
         compute_dtype=jnp.bfloat16, remat_bottleneck=False, remat_attn=False,
         corner_engine=engine,
     )
-    if engine != "gather":
-        details["corner_engine"] = engine
+    details["corner_engine"] = engine
     if extra_flags:
         details["extra_xla_flags"] = extra_flags
 

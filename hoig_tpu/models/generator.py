@@ -93,11 +93,13 @@ class ExtractorAttn(nn.Module):
     """
 
     kernel_size: int = 5
-    # corner engine: "gather" = per-pixel packed row gathers (the measured
-    # production path), "shift" = bounded masked shifts (no gather/scatter;
-    # benchmarked SLOWER on TPU v5e — the 25x49 coefficient-field muladds
-    # cost more VPU+HBM than the 36 corner gathers save — and its term
-    # count inflates XLA compile time; kept for A/B benchmarking)
+    # corner engine (resolved from the CLI's "auto" per precision mode,
+    # environment.resolve_corner_engine): "shift" = bounded masked shifts,
+    # conv-collapsed — measured FASTEST under bf16 (374 vs gather's
+    # 437 ms/step, v5e); "gather" = packed per-pixel row gathers — the
+    # fp32 pick; "pallas" = fused VMEM kernel (ops/attn_pallas.py),
+    # opt-in (forward is 50-100x cheaper per layer, backward phases
+    # still cost more than shift's XLA transpose)
     corner_engine: str = "gather"
 
     @nn.compact

@@ -149,6 +149,9 @@ def _v_of(vx, ay, dy, dx, window=None):
     return vd
 
 
+_TIE = True  # set per-call by the pallas_call wrappers (see _tie)
+
+
 def _tie(x, dep):
     """Serialize an accumulation loop: make the freshly-loaded operand `x`
     depend on the running accumulator `dep` via an optimization barrier.
@@ -156,10 +159,30 @@ def _tie(x, dep):
     Without this, Mosaic treats the loop's loads as free to hoist and the
     `acc = acc + term` chain as free to reassociate into a balanced tree
     — every term stays live at once and the kernel needs >100MB of
-    register spill slots (measured). The barrier forces one term in
-    flight; VMEM loads are fast enough that the lost overlap is noise."""
+    register spill slots (measured, pre-channel-chunking). The barrier
+    forces one term in flight; VMEM loads are fast enough that the lost
+    overlap is noise.
+
+    Caveat: `lax.optimization_barrier` has NO Mosaic TC lowering (jax
+    0.9.0 raises NotImplementedError), so on the real-TPU path the call
+    wrappers disable the tie via the module switch `_TIE` — the
+    channel-chunked kernels keep few enough values live to fit VMEM
+    without it — and keep it only under interpret mode, where the
+    barrier lowers through XLA and the test suite exercises the same
+    accumulation structure."""
+    if not _TIE:
+        return x
     x, _ = jax.lax.optimization_barrier((x, dep))
     return x
+
+
+def _set_tie(interpret: bool) -> None:
+    """Enable the serialization barrier only when the kernel will run in
+    interpret mode. Kernel tracing happens synchronously inside
+    pallas_call, and every call wrapper sets the switch before its
+    pallas_call, so the module global cannot go stale between calls."""
+    global _TIE
+    _TIE = bool(interpret)
 
 
 def _flow_fields(flow):
@@ -737,6 +760,7 @@ def _fwd_call(src, acc0, w0s, w1, b1, fy_rel, fx_rel, wy, wx,
               interpret=False):
     """Forward pallas_call: returns (out, acc, attn) — acc/attn are the
     f32 residuals consumed by the custom VJP."""
+    _set_tie(interpret)
     b, h, w, c = src.shape
     th = _row_tile(h, w, c)
     wp = _round8(w + 2 * PAD)
@@ -812,6 +836,7 @@ def _field_bufs(g):
 
 def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
     """Phase-C backward kernels: (g_src_outputhalf, g_attn)."""
+    _set_tie(interpret)
     g = _geom(src)
     f32 = jnp.float32
     fields, mrows, wp2, wpl, xr = _field_bufs(g)
@@ -820,7 +845,7 @@ def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
     attn_pad = _pad_margined(attn, wp2, lane_to=_round128(K2), extra_rows=xr)
     pads = [_pad_margined(x, wpl, extra_rows=xr)
             for x in (fy_rel, fx_rel, wy, wx)]
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     cw = g["cw"]
     return pl.pallas_call(
         functools.partial(
@@ -855,6 +880,7 @@ def _bwd_c_call(src, fy_rel, fx_rel, wy, wx, attn, g_out, interpret=False):
 
 def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
     """Phase-A backward kernels: (g_src_fc0half, dW)."""
+    _set_tie(interpret)
     g = _geom(src)
     f32 = jnp.float32
     fields, mrows, wp2, wpl, xr = _field_bufs(g)
@@ -862,7 +888,7 @@ def _bwd_a_call(src, w0s, fy_rel, fx_rel, wy, wx, g_acc, interpret=False):
     gacc_pad = _pad_margined(g_acc, wp2, extra_rows=xr)
     pads = [_pad_margined(x, wpl, extra_rows=xr)
             for x in (fy_rel, fx_rel, wy, wx)]
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     cw = g["cw"]
     kw = dict(th=g["th"], h=g["h"], w=g["w"], wp=g["wp"], c=cw)
     gsrc_a = pl.pallas_call(

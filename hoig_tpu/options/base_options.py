@@ -79,12 +79,14 @@ class BaseOptions:
         p.add_argument("--platform", type=str, default=None,
                        help="force a JAX platform (cpu/tpu); this environment "
                             "auto-selects the TPU plugin otherwise")
-        p.add_argument("--corner_engine", type=str, default="gather",
-                       choices=["gather", "shift", "pallas"],
+        p.add_argument("--corner_engine", type=str, default="auto",
+                       choices=["auto", "gather", "shift", "pallas"],
                        help="flow-attention corner engine: 'gather' (packed "
                             "XLA row gathers), 'shift' (gather-free bounded "
                             "shifts + conv-collapse), 'pallas' (fused VMEM "
-                            "kernel; TPU or interpret)")
+                            "kernel; TPU or interpret). 'auto' = shift under "
+                            "--bf16 (374 vs 437 ms/step measured on v5e), "
+                            "gather otherwise")
         self._initialized = True
 
     def parse(self, args=None):

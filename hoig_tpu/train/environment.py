@@ -104,6 +104,17 @@ def build_environment(opt):
     )
 
 
+def resolve_corner_engine(engine: str, bf16: bool) -> str:
+    """'auto' -> the measured-fastest flow-attention corner engine for the
+    precision mode: 'shift' (conv-collapse, gather-free) under bf16
+    (373.9 vs gather's 437 ms/step on v5e, PERF.md round-3 A/B); 'gather'
+    under fp32, where the wider FMA fields made shift v1 slower (480 vs
+    457 ms) and v2 is unmeasured. Explicit values pass through."""
+    if engine == "auto":
+        return "shift" if bf16 else "gather"
+    return engine
+
+
 def train_config_from_opt(opt) -> TrainConfig:
     is_ycb = opt.dataset_mode == "ycb"
     # dims per variant (HOIG_HOv3/models/trainer.py:260-267,
@@ -135,7 +146,9 @@ def train_config_from_opt(opt) -> TrainConfig:
             getattr(opt, "remat_bottleneck", False)
             or not getattr(opt, "bf16", False)
         ),
-        corner_engine=getattr(opt, "corner_engine", "gather"),
+        corner_engine=resolve_corner_engine(
+            getattr(opt, "corner_engine", "auto"), getattr(opt, "bf16", False)
+        ),
         image_size=opt.image_size,
         d_norm_type=opt.norm_type,
         lr_G=getattr(opt, "lr_G", 2e-4),

@@ -46,6 +46,29 @@ def test_test_options():
     assert os.path.exists(os.path.join(tmp, "t", "opt_test.txt"))
 
 
+def test_corner_engine_auto_resolution():
+    """'auto' (the CLI default) picks the measured-best engine per
+    precision mode; explicit choices pass through untouched."""
+    from hoig_tpu.train.environment import (
+        resolve_corner_engine,
+        train_config_from_opt,
+    )
+
+    assert resolve_corner_engine("auto", bf16=True) == "shift"
+    assert resolve_corner_engine("auto", bf16=False) == "gather"
+    assert resolve_corner_engine("pallas", bf16=True) == "pallas"
+
+    assert _train_opts().corner_engine == "auto"
+    assert train_config_from_opt(_train_opts()).corner_engine == "gather"
+    assert train_config_from_opt(_train_opts(["--bf16"])).corner_engine == "shift"
+    assert (
+        train_config_from_opt(
+            _train_opts(["--bf16", "--corner_engine", "gather"])
+        ).corner_engine
+        == "gather"
+    )
+
+
 def test_model_facade_end_to_end():
     """set_input -> optimize_parameters -> forward -> save/load via the
     reference Trainer API surface."""

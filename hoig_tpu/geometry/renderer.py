@@ -461,26 +461,38 @@ def get_texture_backward_warp(
 
     Occluded atlas texels are opened (erode+dilate ks=3) and white-filled;
     the object half is replaced by the pre-rendered texture when pre_load.
+
+    TPU note: under pre_load the object half's warp/occlusion/morph would
+    be dead work — 40% of the atlas texels (the warp gathers were the
+    single largest conditioning cost in the step profile, PERF.md) — so
+    the pipeline runs on only the hand|gap columns plus a 2-column morph
+    margin. Bit-identical to the full-width computation: the two chained
+    3x3 morphs reach at most 2 columns past the seam, and those margin
+    columns are computed exactly before being dropped.
     """
-    fim_uv = jnp.take(tables["fim_uv"], obj_ids, axis=0)  # (B, 256, 640)
-    wim_uv = jnp.take(tables["wim_uv"], obj_ids, axis=0)
+    atlas_w = tables["fim_uv"].shape[-1]
+    keep = atlas_w  # columns of the warped texture that survive
+    if pre_load:
+        keep = atlas_w - tables["obj_tex"].shape[-1]  # hand + gap
+    m = min(keep + 2, atlas_w)  # + morph margin (2 chained ks=3)
+    fim_uv = jnp.take(tables["fim_uv"][:, :, :m], obj_ids, axis=0)
+    wim_uv = jnp.take(tables["wim_uv"][:, :, :m], obj_ids, axis=0)
 
     t, exist = _barycentric_warp(src_f2pts, fim_uv, wim_uv)
-    o = _occlusion_from_fim(t, exist, fim_uv, src_fim)  # (B, 256, 640, 1)
+    o = _occlusion_from_fim(t, exist, fim_uv, src_fim)  # (B, 256, m, 1)
 
     # default grid_sample is align_corners=False here (nmr.py:1048);
     # packed single-gather variant (value-identical, TPU-tuned)
     syn_tex = grid_sample_packed(im, t, align_corners=False)
 
-    o = o.transpose(0, 3, 1, 2)  # (B, 1, 256, 640)
+    o = o.transpose(0, 3, 1, 2)  # (B, 1, 256, m)
     o = morph(o, ks=3, mode="erode")
     o = 1.0 - morph(1.0 - o, ks=3, mode="erode")
     syn_tex = syn_tex * (1.0 - o) + o  # white (=1.0) fill
 
     if pre_load:
         obj_tex = jnp.take(tables["obj_tex"], obj_ids, axis=0)  # (B, 3, S, S)
-        hand_cols = syn_tex.shape[3] - obj_tex.shape[3]
-        syn_tex = jnp.concatenate([syn_tex[:, :, :, :hand_cols], obj_tex], axis=3)
+        syn_tex = jnp.concatenate([syn_tex[:, :, :, :keep], obj_tex], axis=3)
     return syn_tex
 
 

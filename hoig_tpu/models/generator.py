@@ -536,10 +536,44 @@ class ResUnetGenerator(nn.Module):
     def regress(self, x: jax.Array, y: jax.Array | None = None):
         if self.on_obj:
             return jnp.tanh(self.img_reg(x))
-        rgb = jnp.tanh(self.img_reg(x))
-        mask_hand = nn.sigmoid(self.attn_reg_hand(x))
-        mask_bg = nn.sigmoid(self.attn_reg_bg(jnp.concatenate([x, y], axis=-1)))
-        return rgb, mask_hand, mask_bg
+        if self.is_initializing():
+            rgb = jnp.tanh(self.img_reg(x))
+            mask_hand = nn.sigmoid(self.attn_reg_hand(x))
+            mask_bg = nn.sigmoid(
+                self.attn_reg_bg(jnp.concatenate([x, y], axis=-1))
+            )
+            return rgb, mask_hand, mask_bg
+        # Packed head: ONE 7x7 conv over [x, y] -> 5 channels instead of
+        # three separate few-channel convs. A 7x7 conv to 3/1 outputs uses
+        # 3/128 vector lanes and is pure overhead on TPU — the three head
+        # convs (x2 models, + their VJPs) were ~19 ms of the 321 ms step
+        # profile (PERF.md). img_reg/attn_reg_hand read only the x rows
+        # (structural zero block for the y rows: exact f32-accumulated
+        # zeros, so values are bit-identical and the concat VJP routes
+        # each head's gradient to its own kernel). Param tree unchanged
+        # (checkpoints / torch converter untouched).
+        from hoig_tpu.models.layers import compute_dtype
+
+        cd = compute_dtype() or jnp.float32
+        kw_img = self.img_reg.variables["params"]["kernel"]
+        kw_hand = self.attn_reg_hand.variables["params"]["kernel"]
+        kw_bg = self.attn_reg_bg.variables["params"]["kernel"]
+        kx = jnp.concatenate([kw_img, kw_hand], axis=-1)  # (7,7,Cx,4)
+        cy = kw_bg.shape[2] - kx.shape[2]
+        kx = jnp.concatenate(
+            [kx, jnp.zeros(kx.shape[:2] + (cy, 4), kx.dtype)], axis=2
+        )
+        kw = jnp.concatenate([kx, kw_bg], axis=-1)  # (7,7,Cx+Cy,5)
+        xy = jnp.concatenate([x, y], axis=-1).astype(cd)
+        out = jax.lax.conv_general_dilated(
+            xy, kw.astype(cd), (1, 1), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return (
+            jnp.tanh(out[..., 0:3]),
+            nn.sigmoid(out[..., 3:4]),
+            nn.sigmoid(out[..., 4:5]),
+        )
 
     def __call__(self, x: jax.Array, seg: jax.Array | None = None):
         outs = self.encode(x, seg)

@@ -89,6 +89,18 @@ def _raster_kernel(edge_ref, izp_ref, bbox_ref, iz_out, idx_out, *, image_size,
             edge = edge_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, 9)
             izc = izp_ref[0, pl.ds(off, CHUNK), :]  # (CHUNK, 3)
 
+            # row-range cull: the surviving faces' y-extent usually covers
+            # only part of the tile; bound the row sweep by the chunk's
+            # overlap-masked y-bbox (NDC -> tile-row indices, +-1 pixel
+            # pad to match the bbox pitch margin)
+            ylo = jnp.min(jnp.where(overlap[:, 0], bbox[:, 2], _BIG))
+            yhi = jnp.max(jnp.where(overlap[:, 0], bbox[:, 3], -_BIG))
+            row0 = jnp.floor((ylo * s - 1.0 + s) * 0.5).astype(jnp.int32) - 1
+            row1 = jnp.ceil((yhi * s - 1.0 + s) * 0.5).astype(jnp.int32) + 2
+            tile_r0 = ty * TILE_H
+            r_beg = jnp.clip(row0 - tile_r0, 0, TILE_H)
+            r_end = jnp.clip(row1 - tile_r0, 0, TILE_H)
+
             def row_body(r, _):
                 pix_y = (ty * TILE_H + r).astype(jnp.float32)
                 yp = (2.0 * pix_y + 1.0 - s) / s  # scalar
@@ -108,7 +120,7 @@ def _raster_kernel(edge_ref, izp_ref, bbox_ref, iz_out, idx_out, *, image_size,
                 idx_out[0, pl.ds(r, 1), :] = jnp.where(better, chunk_arg, idx_acc)
                 return 0
 
-            jax.lax.fori_loop(0, TILE_H, row_body, 0)
+            jax.lax.fori_loop(r_beg, r_end, row_body, 0)
 
         return 0
 

@@ -367,8 +367,17 @@ _REMAT_CACHE = {}
 def _remat(cls):
     """nn.remat, keeping the original class name so flax's auto-naming (and
     therefore every checkpoint key) is identical with and without remat —
-    a remat toggle must never invalidate saved params."""
-    wrapped = nn.remat(cls)
+    a remat toggle must never invalidate saved params.
+
+    Policy: store the InstanceNorm folded stats (named 'in_stats' in
+    layers.InstanceNorm) instead of recomputing their H,W reduces in the
+    backward — they are (B,1,1,C) tensors, so the memory cost is nil while
+    the recomputed stats reduces were ~10-15 ms/step on the TPU profile.
+    Everything else is recomputed as before."""
+    wrapped = nn.remat(
+        cls,
+        policy=jax.checkpoint_policies.save_only_these_names("in_stats"),
+    )
     wrapped.__name__ = cls.__name__
     return wrapped
 

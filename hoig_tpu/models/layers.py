@@ -65,6 +65,13 @@ class InstanceNorm(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (c,))
             a = a * scale
             b = b * scale + bias
+        # name the folded stats so selective remat can STORE them: they are
+        # (B,1,1,C) — negligible HBM — while recomputing each stats reduce
+        # in the remat backward cost ~0.2-0.4 ms per IN instance on the
+        # profile (~240 multiply_reduce fusions / 26 ms per step)
+        from jax.ad_checkpoint import checkpoint_name
+
+        a, b = checkpoint_name((a, b), "in_stats")
         return x.astype(out_dtype) * a.astype(out_dtype) + b.astype(out_dtype)
 
 

@@ -215,8 +215,13 @@ def rasterize_fim_wim_pallas(
     def finish(idx_i, finv_i):
         hit = idx_i.reshape(-1) >= 0
         safe = jnp.clip(idx_i.reshape(-1), 0)
-        fw = finv_i[safe]
-        w = fw[:, :, 0] * xi[:, None] + fw[:, :, 1] * yi[:, None] + fw[:, :, 2]
+        # gather flat (F, 9) rows: a [N,3,3] gather output gets the
+        # (4,128) tile on its LAST TWO dims — 56x padding waste plus a
+        # layout copy (1.4+4.8 ms on the step profile); same math on
+        # strided columns of the flat rows
+        fw = finv_i.reshape(-1, 9)[safe]  # (N, 9)
+        w = (fw[:, 0::3] * xi[:, None] + fw[:, 1::3] * yi[:, None]
+             + fw[:, 2::3])
         w = jnp.clip(w, 0.0, 1.0)
         w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
         fim = jnp.where(hit, idx_i.reshape(-1), -1).reshape(s, s)

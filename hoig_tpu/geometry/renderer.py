@@ -465,15 +465,28 @@ def get_texture_backward_warp(
     TPU note: under pre_load the object half's warp/occlusion/morph would
     be dead work — 40% of the atlas texels (the warp gathers were the
     single largest conditioning cost in the step profile, PERF.md) — so
-    the pipeline runs on only the hand|gap columns plus a 2-column morph
-    margin. Bit-identical to the full-width computation: the two chained
-    3x3 morphs reach at most 2 columns past the seam, and those margin
-    columns are computed exactly before being dropped.
+    the pipeline runs on only the hand columns plus a 2-column morph
+    margin; the face-free gap half-chart (fim_uv == -1 there by
+    construction, build_surface_tables) is spliced in as exact zeros.
+    Bit-identical to the full-width computation:
+      * gap texels: exist=False -> t=-2 -> all four bilinear corners are
+        out of range -> syn_tex_raw = 0; raw occlusion = exist & ... = 0,
+        and neither chained ks=3 morph can raise it (the first erode only
+        clears; the second morph's erode(1-o) window at any gap texel sees
+        1-o = 1 everywhere because the first erode already cleared every
+        texel within one column of the seam) -> o = 0 -> output 0;
+      * hand texels: the two chained 3x3 morphs reach at most 2 columns
+        past col 255, and those margin columns are computed exactly
+        (their raw inputs are in-array) before being dropped.
     """
     atlas_w = tables["fim_uv"].shape[-1]
     keep = atlas_w  # columns of the warped texture that survive
+    gap_w = 0
     if pre_load:
         keep = atlas_w - tables["obj_tex"].shape[-1]  # hand + gap
+        hand_w = tables["fim_uv"].shape[-2]  # square hand half-chart
+        gap_w = keep - hand_w  # face-free spacer columns (exact zeros)
+        keep = hand_w
     m = min(keep + 2, atlas_w)  # + morph margin (2 chained ks=3)
     fim_uv = jnp.take(tables["fim_uv"][:, :, :m], obj_ids, axis=0)
     wim_uv = jnp.take(tables["wim_uv"][:, :, :m], obj_ids, axis=0)
@@ -492,7 +505,10 @@ def get_texture_backward_warp(
 
     if pre_load:
         obj_tex = jnp.take(tables["obj_tex"], obj_ids, axis=0)  # (B, 3, S, S)
-        syn_tex = jnp.concatenate([syn_tex[:, :, :, :keep], obj_tex], axis=3)
+        gap = jnp.zeros(syn_tex.shape[:3] + (gap_w,), syn_tex.dtype)
+        syn_tex = jnp.concatenate(
+            [syn_tex[:, :, :, :keep], gap, obj_tex], axis=3
+        )
     return syn_tex
 
 

@@ -23,8 +23,23 @@ the same x3 cancels in the ratio). 30% is a deliberately GENEROUS
 utilization for the reference's eager per-sample-python pipeline
 (models/trainer.py:63-97 runs conditioning in a python loop per sample);
 the true reference number must be measured on an A100 to replace this.
+The vs_baseline DENOMINATOR IS FROZEN at A100_EST_IMG_S = 16.25 (the r1
+derivation) in BOTH full and headline-only modes so the ratio is
+comparable across rounds; each full run additionally records the
+freshly re-derived estimate in BENCH_DETAILS.json as a diagnostic
+(r3 re-derived 18.19 — the drift the frozen constant avoids).
 All assumptions + secondary metrics (fp32 step, gen-forward img/s,
 per-leg MFU) are written to BENCH_DETAILS.json and stderr.
+
+Timing integrity (round-4 fix): round 3's driver capture recorded a
+physically impossible 6.95 ms/step (MFU 904%) because the loop blocked
+only on state.step, whose data-dependency chain is step+1 and does NOT
+depend on the gradient work — on the async 'axon' platform
+block_until_ready(state.step) can return before the heavy computation
+retires. Every leg now (a) blocks on the FULL (state, metrics) output
+tree, (b) cross-checks the pipelined-loop time against per-step-blocked
+steps and hard-fails on >2.2x disagreement, and (c) hard-fails any leg
+whose MFU >= 100% of MXU peak, all BEFORE the headline JSON is printed.
 
 MFU denominators: every leg's MFU divides that leg's OWN cost-analysis
 TFLOP/s by the v5e MXU peak (197e12). The same bf16 peak is the correct
@@ -44,6 +59,9 @@ import time
 A100_TF32_PEAK = 156e12  # dense TF32 TFLOP/s (A100 80GB datasheet)
 A100_UTILIZATION = 0.30  # generous estimate for the torch reference
 V5E_MXU_PEAK = 197e12  # TPU v5e chip peak bf16 TFLOP/s (MXU)
+# FROZEN vs_baseline denominator (see module docstring): the r1-derived
+# A100 estimate, used identically in full and headline-only modes.
+A100_EST_IMG_S = 16.25
 
 
 def log(msg):
@@ -106,12 +124,17 @@ def main():
     details = {"batch": B, "image_size": S, "n_chips": n_chips,
                "device": str(jax.devices()[0])}
 
-    def bench_step(tag, tcfg, n_iter=10, b=None):
+    def bench_step(tag, tcfg, n_iter=10, b=None, ccfg_=None, camera="matrix",
+                   with_masks=True):
         B_ = b or B
-        bt = batch if B_ == B else {
+        ccfg_ = ccfg_ or ccfg
+        bt = batch if (B_ == B and camera == "matrix" and with_masks) else {
             k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict)
                 else jnp.asarray(v))
-            for k, v in synthetic_batch(B_, obj_verts, image_size=S).items()
+            for k, v in synthetic_batch(
+                B_, obj_verts, image_size=S, camera=camera,
+                with_masks=with_masks,
+            ).items()
         }
         g, d = build_networks(tcfg)
         vgg = Vgg19Features()
@@ -121,7 +144,7 @@ def main():
         def gkw_of(b_):
             flow = hand_recovery_flow(
                 tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
-                b_["manoB"], ccfg,
+                b_["manoB"], ccfg_,
             )
             return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
 
@@ -132,7 +155,7 @@ def main():
             rng, g, d, tcfg, gkw, jnp.zeros((B_, S, S, tcfg.d_input_nc))
         )
         step_fn = make_train_step(
-            g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg
+            g, d, vgg, vgg_params, tables, mano_params, ccfg_, tcfg
         )
         flops = None
         t0 = time.time()
@@ -149,21 +172,48 @@ def main():
         except Exception as e:  # cost analysis is best-effort on plugins
             log(f"{tag}: AOT cost analysis unavailable ({e})")
             step = jax.jit(step_fn, donate_argnums=(0,))
-        state, _ = step(state, bt, jnp.asarray(True))
-        jax.block_until_ready(state.step)
+        state, metrics = step(state, bt, jnp.asarray(True))
+        # block on the FULL output tree: metrics depend on the whole
+        # gradient graph; state.step alone is step+1 and retires early on
+        # the async axon platform (the r3 904%-MFU artifact)
+        jax.block_until_ready((state, metrics))
         details[f"{tag}_compile_s"] = round(time.time() - t0, 1)
+        # cross-check reference: per-step-blocked timing (min of 3) — an
+        # upper bound on true step time, immune to async-dispatch artifacts
+        blocked_ms = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            state, metrics = step(state, bt, jnp.asarray(True))
+            jax.block_until_ready((state, metrics))
+            blocked_ms = min(blocked_ms, (time.time() - t0) * 1e3)
         t0 = time.time()
         for _ in range(n_iter):
             state, metrics = step(state, bt, jnp.asarray(True))
-        jax.block_until_ready(state.step)
+        jax.block_until_ready((state, metrics))
         dt = time.time() - t0
+        step_ms = dt / n_iter * 1e3
+        details[f"{tag}_step_ms"] = round(step_ms, 2)
+        details[f"{tag}_step_ms_blocked"] = round(blocked_ms, 2)
+        # hard sanity: the pipelined loop may only be modestly faster than
+        # fully-synchronous stepping (host dispatch overlap), never >2.2x
+        if step_ms < blocked_ms / 2.2:
+            raise RuntimeError(
+                f"{tag}: TIMING ARTIFACT — pipelined loop measured "
+                f"{step_ms:.2f} ms/step but per-step-blocked is "
+                f"{blocked_ms:.2f} ms; refusing to report"
+            )
         ips = B_ * n_iter / dt / n_chips
-        details[f"{tag}_step_ms"] = round(dt / n_iter * 1e3, 2)
         details[f"{tag}_images_per_sec_per_chip"] = round(ips, 3)
         if flops:
             tf = flops / (dt / n_iter) / 1e12
+            mfu = tf * 1e12 / V5E_MXU_PEAK
             details[f"{tag}_tflops_per_sec"] = round(tf, 2)
-            details[f"{tag}_mfu_vs_mxu_peak"] = round(tf * 1e12 / V5E_MXU_PEAK, 4)
+            details[f"{tag}_mfu_vs_mxu_peak"] = round(mfu, 4)
+            if mfu >= 1.0:
+                raise RuntimeError(
+                    f"{tag}: IMPOSSIBLE MFU {mfu:.1%} (> MXU peak) — "
+                    f"timing artifact; refusing to report"
+                )
         log(f"{tag}: {ips:.3f} img/s/chip ({dt/n_iter*1e3:.1f} ms/step)"
             + (f" MFU {details[f'{tag}_mfu_vs_mxu_peak']:.1%}" if flops else ""))
         return ips
@@ -184,9 +234,7 @@ def main():
 
     if headline_only:
         # A/B mode: time ONLY the headline train step. vs_baseline uses the
-        # standing derived estimate (16.25 A100 img/s, see BENCH_DETAILS of
-        # a full run) instead of re-deriving FLOPs from a fresh gen-fwd
-        # compile.
+        # same frozen denominator as the full run.
         value = bench_step("train_bf16", TrainConfig(image_size=S, **bf16_cfg))
         # do not clobber the full run's BENCH_DETAILS.json from an A/B sweep
         with open("BENCH_AB.json", "a") as fp:
@@ -195,7 +243,7 @@ def main():
         print(json.dumps({
             "metric": "hogan_train_step_images_per_sec_per_chip_256_bf16",
             "value": round(value, 3), "unit": "images/sec/chip",
-            "vs_baseline": round(value / 16.25, 3),
+            "vs_baseline": round(value / A100_EST_IMG_S, 3),
         }), flush=True)
         log(json.dumps(details, indent=1))
         return
@@ -258,24 +306,19 @@ def main():
     # headline: bf16 train step (production path)
     value = bench_step("train_bf16", TrainConfig(image_size=S, **bf16_cfg))
 
-    # derived (clearly-labeled ESTIMATE) A100 baseline
+    # vs_baseline uses the FROZEN r1-derived denominator in every mode;
+    # the fresh re-derivation is recorded as a diagnostic only
+    vs = value / A100_EST_IMG_S
+    details["baseline_estimate"] = {
+        "a100_train_img_s_per_gpu_FROZEN": A100_EST_IMG_S,
+        "derivation": "156e12 TF32 peak * 0.30 util / (3 * gen_fwd_flops"
+                      "_per_image), frozen at the r1 derivation; reference "
+                      "publishes no throughput",
+    }
     if flops_per_image:
-        # train step ~= fwd + bwd(2x fwd) for G + D fwd/bwd; the same model
-        # runs on both sides of the ratio, so scale by gen-fwd FLOPs only.
-        est_a100_img_s = A100_TF32_PEAK * A100_UTILIZATION / (3.0 * flops_per_image)
-        details["baseline_estimate"] = {
-            "a100_train_img_s_per_gpu_ESTIMATE": round(est_a100_img_s, 3),
-            "derivation": "156e12 TF32 peak * 0.30 util / (3 * gen_fwd_flops"
-                          "_per_image); reference publishes no throughput",
-        }
-        vs = value / est_a100_img_s
-    else:
-        # fallback: keep r01's provisional nominal, labeled
-        details["baseline_estimate"] = {
-            "nominal_img_s_per_gpu_PROVISIONAL": 2.0,
-            "derivation": "cost analysis unavailable; unmeasured nominal",
-        }
-        vs = value / 2.0
+        details["baseline_estimate"]["a100_img_s_rederived_diagnostic"] = round(
+            A100_TF32_PEAK * A100_UTILIZATION / (3.0 * flops_per_image), 3
+        )
 
     def flush_details():
         with open("BENCH_DETAILS.json", "w") as fp:
@@ -298,9 +341,35 @@ def main():
     )
 
     try:
-        # per-chip batch 8 (e.g. reference's global batch 32 on 4 chips)
+        # per-chip batch 8 — the recommended deployment config: 4 chips x
+        # b8 = the reference's global batch 32 exactly, at ~0.7x the
+        # per-image cost of b4 (PERF.md)
         bf16_b8 = bench_step(
             "train_bf16_b8", TrainConfig(image_size=S, **bf16_cfg), b=8
+        )
+        # cross-batch sanity: per-image cost must agree within 2.2x
+        ratio = value / bf16_b8 if bf16_b8 else 0.0
+        if not (1 / 2.2 < ratio < 2.2):
+            details["SANITY_FAIL_b4_vs_b8"] = (
+                f"per-image throughput disagrees {ratio:.1f}x between "
+                f"b4 ({value:.2f}) and b8 ({bf16_b8:.2f} img/s) — "
+                "one of the legs is a timing artifact"
+            )
+            log("SANITY FAIL: " + details["SANITY_FAIL_b4_vs_b8"])
+        flush_details()
+        # DexYCB production variant (fxfy camera, PCA-45 MANO, 24-ch D,
+        # hand-seg channels, no masks — SURVEY §2.11 delta table)
+        ycb_ccfg = ConditioningConfig(
+            image_size=S, camera_model="fxfy", mano_pca_comps=45,
+            mano_flat_hand_mean=False,
+        )
+        bench_step(
+            "train_bf16_dexycb",
+            TrainConfig(
+                image_size=S, bg_dim=13, img_cond_dim=9, d_input_nc=24,
+                use_armask=False, **bf16_cfg,
+            ),
+            ccfg_=ycb_ccfg, camera="fxfy", with_masks=False,
         )
         flush_details()
         # diagnostic: fp32 step (full remat — the only fp32 config that
@@ -311,6 +380,14 @@ def main():
         flush_details()
     except Exception as e:
         log(f"diagnostic legs failed: {e}")
+    # compile-cost visibility (remote-compile fragility tracking): total
+    # compile seconds this run + per-leg cache-hit heuristic (<60s = warm)
+    compile_keys = [k for k in details if k.endswith("_compile_s")]
+    details["compile_s_total"] = round(sum(details[k] for k in compile_keys), 1)
+    details["compile_cache_warm_legs"] = sum(
+        1 for k in compile_keys if details[k] < 60.0
+    )
+    flush_details()
     log(json.dumps(details, indent=1))
 
 

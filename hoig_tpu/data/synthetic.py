@@ -141,14 +141,16 @@ def synthetic_theta(batch_size: int, obj_verts, seed: int = 0,
 
 
 def synthetic_batch(batch_size: int, obj_verts, image_size: int = 256, seed: int = 0,
-                    with_masks: bool = True) -> dict:
+                    with_masks: bool = True, camera: str = "matrix") -> dict:
     rng = np.random.RandomState(seed)
     b = batch_size
     batch = dict(
         imageA=(rng.rand(b, 3, image_size, image_size) * 2 - 1).astype(np.float32),
         imageB=(rng.rand(b, 3, image_size, image_size) * 2 - 1).astype(np.float32),
-        manoA=synthetic_theta(b, obj_verts, seed=seed * 2 + 1, image_size=image_size),
-        manoB=synthetic_theta(b, obj_verts, seed=seed * 2 + 2, image_size=image_size),
+        manoA=synthetic_theta(b, obj_verts, seed=seed * 2 + 1,
+                              image_size=image_size, camera=camera),
+        manoB=synthetic_theta(b, obj_verts, seed=seed * 2 + 2,
+                              image_size=image_size, camera=camera),
     )
     # pairs share the object identity (same video clip in the reference)
     batch["manoB"]["obj_id"] = batch["manoA"]["obj_id"]

@@ -91,19 +91,25 @@ def load_torch_weights(params, state_dict) -> dict:
 VGG_LOSS_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
 
-def vgg_perceptual_loss(model, params, x: jax.Array, y: jax.Array) -> jax.Array:
+def vgg_perceptual_loss(model, params, x: jax.Array, y: jax.Array,
+                        valid=None) -> jax.Array:
     """VGGLoss (vgg19.py:94-109): weighted L1 over the 5 slices.
 
     x, y: (B, H, W, 3) NHWC images in the generator's [-1, 1] range (the
     reference feeds tanh outputs straight in, no ImageNet normalization).
-    y is treated as a constant target (detach semantics).
+    y is treated as a constant target (detach semantics). valid: optional
+    per-sample weights (B,) — see losses.wmean.
     """
+    from hoig_tpu.train.losses import wmean
+
     fx = model.apply(params, x)
     fy = model.apply(params, jax.lax.stop_gradient(y))
     loss = 0.0
     for w, a, b in zip(VGG_LOSS_WEIGHTS, fx, fy):
         # features may be bf16 under the compute dtype; accumulate in f32
-        loss = loss + w * jnp.mean(
-            jnp.abs(a - jax.lax.stop_gradient(b)), dtype=jnp.float32
+        d = jnp.abs(a - jax.lax.stop_gradient(b))
+        loss = loss + w * (
+            wmean(d, valid) if valid is not None
+            else jnp.mean(d, dtype=jnp.float32)
         )
     return loss

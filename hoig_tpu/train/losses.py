@@ -13,30 +13,42 @@ import jax
 import jax.numpy as jnp
 
 
-def lsgan_loss(logits: jax.Array, target: float) -> jax.Array:
+def wmean(x: jax.Array, w: jax.Array | None) -> jax.Array:
+    """mean(x), or — with per-sample weights w (B,) — the w-weighted mean
+    of the per-sample means. Every sample has the same element count, so
+    w=ones reproduces jnp.mean exactly; the eval path uses 0-weights to
+    exclude pad-replica samples from metric reductions (a partial final
+    val batch is padded to the data-mesh size, model_api.set_input)."""
+    if w is None:
+        return jnp.mean(x)
+    per = jnp.mean(x.reshape(x.shape[0], -1).astype(jnp.float32), axis=1)
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def lsgan_loss(logits: jax.Array, target: float, w=None) -> jax.Array:
     """mean((x - y)^2) (trainer.py:476-477); targets: G-fake 0 is the
     generator's target for D(fake) (trainer.py:439), D-real 1, D-fake -1
     (trainer.py:467-468)."""
-    return jnp.mean((logits - target) ** 2)
+    return wmean((logits - target) ** 2, w)
 
 
-def l1_loss(x: jax.Array, y: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.abs(x - y))
+def l1_loss(x: jax.Array, y: jax.Array, w=None) -> jax.Array:
+    return wmean(jnp.abs(x - y), w)
 
 
-def mse_loss(x: jax.Array, y: jax.Array) -> jax.Array:
-    return jnp.mean((x - y) ** 2)
+def mse_loss(x: jax.Array, y: jax.Array, w=None) -> jax.Array:
+    return wmean((x - y) ** 2, w)
 
 
-def bce_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+def bce_loss(pred: jax.Array, target: jax.Array, w=None) -> jax.Array:
     """torch.nn.BCELoss semantics: mean binary cross entropy on
     probabilities, with log values clamped at -100."""
     log_p = jnp.maximum(jnp.log(jnp.maximum(pred, 0.0)), -100.0)
     log_1p = jnp.maximum(jnp.log(jnp.maximum(1.0 - pred, 0.0)), -100.0)
-    return -jnp.mean(target * log_p + (1.0 - target) * log_1p)
+    return -wmean(target * log_p + (1.0 - target) * log_1p, w)
 
 
-def tv_smooth_loss(mat: jax.Array) -> jax.Array:
+def tv_smooth_loss(mat: jax.Array, w=None) -> jax.Array:
     """Mask smoothness (trainer.py:479-481): mean |dx| + mean |dy| on
     (B, C, H, W) or (B, H, W, C) — computed over the two spatial axes."""
     if mat.ndim != 4:
@@ -55,4 +67,4 @@ def tv_smooth_loss(mat: jax.Array) -> jax.Array:
         jnp.take(mat, jnp.arange(mat.shape[ax_h] - 1), axis=ax_h)
         - jnp.take(mat, jnp.arange(1, mat.shape[ax_h]), axis=ax_h)
     )
-    return jnp.mean(dx) + jnp.mean(dy)
+    return wmean(dx, w) + wmean(dy, w)

@@ -81,17 +81,29 @@ class HOIGModel:
         s = opt.image_size
         self._vgg_params = self._vgg.init(rng, jnp.zeros((1, s, s, 3)))
         vgg_path = getattr(opt, "vgg_weights", None)
+        synthetic = (getattr(opt, "synthetic_data", False)
+                     or opt.dataset_mode == "synthetic")
         if vgg_path and os.path.exists(vgg_path):
             self._vgg_params = load_torch_weights(
                 self._vgg_params, _load_state_dict(vgg_path)
             )
             print(f"loaded vgg19 weights from {vgg_path}")
+        elif self._tcfg.use_vgg and self._is_train and not synthetic:
+            # training a REAL dataset against random VGG features silently
+            # diverges from the reference objective — refuse (a synthetic
+            # smoke run may proceed with the deterministic random init)
+            raise RuntimeError(
+                "--use_vgg training requires pretrained VGG19 features: "
+                f"--vgg_weights {vgg_path or '<path>'} "
+                + ("not found" if vgg_path else "not given")
+                + ". Convert the torchvision checkpoint first:\n"
+                "  python scripts/convert_weights.py vgg19 <vgg19.pth> "
+                "assets/weights/vgg19.npz\n"
+                "(or pass --dataset_mode synthetic for a smoke run)"
+            )
         elif vgg_path:
-            print(f"[warn] --vgg_weights {vgg_path} not found — convert the "
-                  "torchvision vgg19 checkpoint first:\n"
-                  "  python scripts/convert_weights.py vgg19 <vgg19.pth> "
-                  f"{vgg_path}\n"
-                  "falling back to random-feature perceptual loss")
+            print(f"[warn] --vgg_weights {vgg_path} not found — "
+                  "random-feature perceptual loss (synthetic/eval mode)")
         elif self._tcfg.use_vgg:
             print("[warn] --use_vgg without --vgg_weights: random-feature "
                   "perceptual loss (deterministic init)")
@@ -180,7 +192,7 @@ class HOIGModel:
             make_eval_metrics(
                 self._G, self._D, self._vgg, self._vgg_params, self._tcfg
             ),
-            in_shardings=(repl, repl, shard, shard),
+            in_shardings=(repl, repl, shard, shard, shard),
             out_shardings=(shard, repl),
         )
 
@@ -208,6 +220,7 @@ class HOIGModel:
             # communicator deadline (and compiling everything up front is
             # the right TPU posture anyway).
             self._batch, self._real_bs = dummy, b
+            self._valid_np = np.ones((b,), np.float32)
             self.forward(keep_data_for_visuals=False, compute_losses=True)
             self.forward(keep_data_for_visuals=False, compute_losses=False)
             self._batch = None
@@ -230,6 +243,7 @@ class HOIGModel:
         self._batch = None
         self._flow = None
         self._real_bs = 0
+        self._valid_np = np.ones((0,), np.float32)
 
     # ------------------------------------------------------------- reference API
     @property
@@ -248,17 +262,21 @@ class HOIGModel:
         # eval/val loaders run with drop_last=False; a final partial batch
         # would violate the P("data") in_shardings on a multi-device mesh.
         # Pad by replicating the last sample and slice outputs back to the
-        # real size (the duplicated samples weight the final batch's metric
-        # means slightly — confined to that one partial batch).
+        # real size; the pad replicas get 0 weight in the eval metric
+        # reductions (losses.wmean) so they never bias the means.
         bs = int(jax.tree_util.tree_leaves(self._batch)[0].shape[0])
         n = self._eval_mesh.size
         self._real_bs = bs
+        self._valid_np = np.ones((bs,), np.float32)
         if bs % n != 0:
             pad = n - bs % n
             rep = lambda x: np.concatenate(
                 [x] + [x[-1:]] * pad, axis=0
             )
             self._batch = jax.tree_util.tree_map(rep, self._batch)
+            self._valid_np = np.concatenate(
+                [self._valid_np, np.zeros((pad,), np.float32)]
+            )
 
     def forward(self, keep_data_for_visuals: bool = False, return_estimates: bool = False,
                 compute_losses: bool = True):
@@ -270,15 +288,17 @@ class HOIGModel:
         pass compute_losses=False for the reference's cheaper behavior)."""
         params_g, params_d = self._localized_params()
         batch = self._batch
+        valid = self._valid_np
         if self._dp._multihost:
             # multi-process jit refuses numpy args with non-trivial
             # shardings (it cannot know they are host-local); place the
             # batch on the rank-local eval mesh explicitly
             batch = jax.device_put(batch, self._eval_shard)
+            valid = jax.device_put(valid, self._eval_shard)
         self._flow = self._flow_fn(batch)
         if compute_losses:
             fakes, metrics = self._eval_fn(
-                params_g, params_d, self._flow, batch
+                params_g, params_d, self._flow, batch, valid
             )
             self._errors = metrics
         else:

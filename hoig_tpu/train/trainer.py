@@ -175,13 +175,18 @@ def composite(outs):
 
 def _forward_and_g_losses(
     g_model, d_model, vgg_loss, tcfg: TrainConfig, params_g, params_d, flow,
-    batch,
+    batch, valid=None,
 ):
     """Generator forward + the full G-side loss graph.
 
     ONE implementation shared by the train step and the eval-metrics path
     so the validation scalars can never drift from the trained objective
     (reference trainer.py:437-486 semantics).
+
+    valid: optional per-sample weights (B,); the eval path passes 0 for
+    pad-replica samples so a padded partial batch's metric means only
+    average the real samples (losses.wmean). Training passes None — the
+    graph is byte-identical to the unweighted form.
 
     Returns (fakes, total, parts, d_fake_map) where fakes =
     (fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh).
@@ -202,12 +207,12 @@ def _forward_and_g_losses(
     d_in_fake = jnp.concatenate([fake_tsf, _d_cond(flow, armask_tsf)], axis=-1)
     d_fake = d_model.apply(params_d, d_in_fake)
 
-    loss_adv = lsgan_loss(d_fake, 0.0) * tcfg.lambda_D_prob
-    loss_rec = l1_loss(fake_src, real_src) * tcfg.lambda_rec
+    loss_adv = lsgan_loss(d_fake, 0.0, w=valid) * tcfg.lambda_D_prob
+    loss_rec = l1_loss(fake_src, real_src, w=valid) * tcfg.lambda_rec
     if tcfg.use_vgg:
-        loss_tsf = vgg_loss(fake_tsf, real_tsf) * tcfg.lambda_tsf
+        loss_tsf = vgg_loss(fake_tsf, real_tsf, valid) * tcfg.lambda_tsf
     else:
-        loss_tsf = l1_loss(fake_tsf, real_tsf) * tcfg.lambda_tsf
+        loss_tsf = l1_loss(fake_tsf, real_tsf, w=valid) * tcfg.lambda_tsf
 
     masks_bg = jnp.concatenate([src_mbg, tsf_mbg], axis=0)
     masks_hand = jnp.concatenate([src_mh, tsf_mh], axis=0)
@@ -218,12 +223,14 @@ def _forward_and_g_losses(
         [_nhwc(flow["src_crop_mask_hand"]), _nhwc(flow["tsf_crop_mask_hand"])],
         axis=0,
     )
+    # src/tsf mask maps are stacked along batch: tile the weights to match
+    valid2 = None if valid is None else jnp.concatenate([valid, valid])
     loss_mask = (
-        mask_crt(masks_bg, jax.lax.stop_gradient(tgt_bg))
-        + mask_crt(masks_hand, jax.lax.stop_gradient(tgt_hand))
+        mask_crt(masks_bg, jax.lax.stop_gradient(tgt_bg), w=valid2)
+        + mask_crt(masks_hand, jax.lax.stop_gradient(tgt_hand), w=valid2)
     ) * tcfg.lambda_mask
     loss_mask_smooth = (
-        tv_smooth_loss(masks_bg) + tv_smooth_loss(masks_hand)
+        tv_smooth_loss(masks_bg, w=valid2) + tv_smooth_loss(masks_hand, w=valid2)
     ) * tcfg.lambda_mask_smooth
 
     total = loss_adv + loss_rec + loss_tsf + loss_mask + loss_mask_smooth
@@ -266,7 +273,7 @@ def make_train_step(
     opt_d = optax.adam(_lr_placeholder, b1=tcfg.adam_b1, b2=tcfg.adam_b2)
 
     vgg_loss_ckpt = jax.checkpoint(
-        lambda x, y: vgg_perceptual_loss(vgg_model, vgg_params, x, y)
+        lambda x, y, w=None: vgg_perceptual_loss(vgg_model, vgg_params, x, y, w)
     )
 
     def g_loss_fn(params_g, params_d, flow, batch):
@@ -361,11 +368,11 @@ def make_eval_metrics(g_model, d_model, vgg_model, vgg_params, tcfg: TrainConfig
     fakes = (fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh).
     """
 
-    def eval_fn(params_g, params_d, flow, batch):
+    def eval_fn(params_g, params_d, flow, batch, valid=None):
         fakes, _, parts, d_fake = _forward_and_g_losses(
             g_model, d_model,
-            lambda x, y: vgg_perceptual_loss(vgg_model, vgg_params, x, y),
-            tcfg, params_g, params_d, flow, batch,
+            lambda x, y, w=None: vgg_perceptual_loss(vgg_model, vgg_params, x, y, w),
+            tcfg, params_g, params_d, flow, batch, valid=valid,
         )
         armask_tsf = batch.get("maskB") if tcfg.use_armask else None
         d_real = d_model.apply(
@@ -374,8 +381,10 @@ def make_eval_metrics(g_model, d_model, vgg_model, vgg_params, tcfg: TrainConfig
                 [_nhwc(batch["imageB"]), _d_cond(flow, armask_tsf)], axis=-1
             ),
         )
+        from hoig_tpu.train.losses import wmean
+
         metrics = dict(
-            parts, d_real=jnp.mean(d_real), d_fake=jnp.mean(d_fake)
+            parts, d_real=wmean(d_real, valid), d_fake=wmean(d_fake, valid)
         )
         return fakes, metrics
 

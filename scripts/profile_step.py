@@ -98,8 +98,12 @@ def build_step(dtype: str, engine: str, batch: int, leg: str):
     step = jax.jit(step_fn, donate_argnums=(0,))
 
     def run_once(st):
-        st, _ = step(st, bt, jnp.asarray(True))
-        jax.block_until_ready(st.step)
+        # block on the FULL (state, metrics) tree: metrics depend on the
+        # whole gradient graph, while st.step alone is step+1 and can
+        # retire before the heavy work on the async axon platform (the
+        # r3 904%-MFU bench artifact — same fix as bench.py)
+        st, metrics = step(st, bt, jnp.asarray(True))
+        jax.block_until_ready((st, metrics))
         return st
 
     return run_once, state

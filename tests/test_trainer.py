@@ -24,7 +24,7 @@ from hoig_tpu.train import (
     save_checkpoint,
     scan_latest_epoch,
 )
-from hoig_tpu.train.losses import bce_loss, lsgan_loss, tv_smooth_loss
+from hoig_tpu.train.losses import bce_loss, l1_loss, lsgan_loss, tv_smooth_loss
 from hoig_tpu.train.trainer import generator_kwargs
 
 S = 64
@@ -250,3 +250,110 @@ def test_selective_remat_configs_match_full_remat(setup, rb, ra):
         float(m1["loss_G"]), float(m0["loss_G"]), rtol=1e-4
     )
     assert np.isfinite(float(m1["loss_D"]))
+
+
+def test_dexycb_variant_train_step():
+    """The DexYCB production config (fxfy camera, PCA-45 MANO, 24-ch D,
+    hand-seg channels, no masks — SURVEY §2.11 deltas; reference
+    HOIG_DexYCB/models/trainer.py:263-270) runs a full train step and
+    updates both networks. Mirrors the bench.py train_bf16_dexycb leg."""
+    tables_np, mano, obj_verts = synthetic_environment(2, S)
+    tables = tables_np.as_jax()
+    mano_params = mano.as_jax()
+    ccfg = ConditioningConfig(image_size=S, camera_model="fxfy",
+                              mano_pca_comps=45, mano_flat_hand_mean=False)
+    tcfg = TrainConfig(image_size=S, conv_dim=8, repeat_num=2, remat=False,
+                       bg_dim=13, img_cond_dim=9, d_input_nc=24,
+                       use_armask=False)
+    g, d = build_networks(tcfg)
+    vgg = Vgg19Features()
+    rng = jax.random.PRNGKey(0)
+    vgg_params = jax.jit(vgg.init)(rng, jnp.zeros((1, S, S, 3)))
+    batch = {
+        k: (jax.tree.map(jnp.asarray, v) if isinstance(v, dict) else jnp.asarray(v))
+        for k, v in synthetic_batch(2, obj_verts, image_size=S,
+                                    camera="fxfy", with_masks=False).items()
+    }
+
+    def gkw_of(b_):
+        flow = hand_recovery_flow(
+            tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
+            b_["manoB"], ccfg,
+        )
+        return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
+
+    shapes = jax.eval_shape(gkw_of, batch)
+    gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
+           for k, v in shapes.items()}
+    state = init_state(rng, g, d, tcfg, gkw,
+                       jnp.zeros((2, S, S, tcfg.d_input_nc)))
+    step = jax.jit(
+        make_train_step(g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg)
+    )
+    s1, m = step(state, batch, jnp.asarray(True))
+    for k in ("loss_G", "loss_D", "g_rec", "g_tsf", "g_adv"):
+        assert np.isfinite(float(m[k])), k
+    assert not np.allclose(_first(s1.params_g), _first(state.params_g))
+    assert not np.allclose(_first(s1.params_d), _first(state.params_d))
+
+
+def test_wmean_weighted_losses_match_unweighted():
+    """losses with w=ones == unweighted; padding rows with 0-weights leaves
+    every loss unchanged (the eval-path partial-batch correction)."""
+    from hoig_tpu.train.losses import wmean
+
+    rng_ = np.random.RandomState(3)
+    x = jnp.asarray(rng_.rand(3, 2, 5, 5).astype(np.float32))
+    y = jnp.asarray(rng_.rand(3, 2, 5, 5).astype(np.float32))
+    ones = jnp.ones((3,))
+    np.testing.assert_allclose(float(wmean(x, ones)), float(jnp.mean(x)), rtol=1e-6)
+    # pad with GARBAGE rows (stronger than replicas) + 0 weights
+    xp = jnp.concatenate([x, x[:1] * 7.3 + 2], axis=0)
+    yp = jnp.concatenate([y, y[:1] * -4.1], axis=0)
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    np.testing.assert_allclose(
+        float(l1_loss(xp, yp, w=w)), float(l1_loss(x, y)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(lsgan_loss(xp, 0.5, w=w)), float(lsgan_loss(x, 0.5)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(tv_smooth_loss(xp, w=w)), float(tv_smooth_loss(x)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(bce_loss(jnp.clip(xp, 1e-3, 1 - 1e-3), (yp > 0.5).astype(jnp.float32), w=w)),
+        float(bce_loss(jnp.clip(x, 1e-3, 1 - 1e-3), (y > 0.5).astype(jnp.float32))),
+        rtol=1e-5,
+    )
+
+
+def test_eval_metrics_pad_invariant(setup):
+    """make_eval_metrics with 0-weighted pad replicas reports the SAME
+    metrics as the unpadded batch — the eval path's partial-final-batch
+    means are unbiased (VERDICT r3 weak #5 fix)."""
+    from hoig_tpu.train.trainer import make_eval_metrics
+
+    s = setup
+    eval_fn = jax.jit(make_eval_metrics(
+        s["g"], s["d"], s["vgg"], s["vgg_params"], s["tcfg"]
+    ))
+    batch = s["batch"]
+
+    def flow_of(b_):
+        return hand_recovery_flow(
+            s["tables"], s["mano_params"], b_["imageA"], b_["imageB"],
+            b_["manoA"], b_["manoB"], s["ccfg"],
+        )
+
+    flow = jax.jit(flow_of)(batch)
+    pg, pd = s["state"].params_g, s["state"].params_d
+    _, m0 = eval_fn(pg, pd, flow, batch, jnp.ones((2,)))
+    # pad by replicating the last sample (what model_api.set_input does)
+    pad = lambda x: jnp.concatenate([x, x[-1:]], axis=0)
+    batch_p = jax.tree_util.tree_map(pad, batch)
+    flow_p = jax.jit(flow_of)(batch_p)
+    _, m1 = eval_fn(pg, pd, flow_p, batch_p, jnp.asarray([1.0, 1.0, 0.0]))
+    for k in m0:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m0[k]), rtol=2e-4, err_msg=k
+        )

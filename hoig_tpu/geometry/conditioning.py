@@ -165,23 +165,56 @@ def hand_recovery_flow(
     # trainer.py:58-60; pairs come from one video so they normally agree)
     obj_ids = both_info["obj_id"][: src_img.shape[0]]
     obj_ids2 = jnp.concatenate([obj_ids, obj_ids], axis=0)
-    both_f2pts, both_fim, both_wim = rend.render_fim_wim(
-        tables, both_info["cam"], both_info["verts"], obj_ids2,
-        cfg.image_size, cfg.camera_model,
+
+    # fused rasterize+encode: project, rasterize the 2B stack, and fetch
+    # every fim-indexed attribute (cond 3 | sem 1 | atlas uv 6 | src face
+    # corners 6) inside the rasterizer's own winner gather — ONE per-pixel
+    # row gather instead of rasterizer-finish + per-side encode gathers
+    # (replaces the reference's separate encode_fim / encode_sem /
+    # sample_from_texture_dense / cal_bc fetches, nmr.py:567-595,874-968;
+    # values identical, gathers packed then fused)
+    from hoig_tpu.geometry.projection import (
+        orthographic_proj_withz_fxfy,
+        orthographic_proj_withz_idrot,
+        to_view_space,
+        vertices_to_faces,
     )
+    from hoig_tpu.ops.rasterizer_pallas import rasterize_fim_wim_auto
+
+    proj_fn = (
+        orthographic_proj_withz_idrot
+        if cfg.camera_model == "matrix"
+        else orthographic_proj_withz_fxfy
+    )
+    proj = proj_fn(both_info["verts"], both_info["cam"],
+                   image_size=cfg.image_size)
+    view = to_view_space(proj)
+    faces2 = jnp.take(tables["faces"], obj_ids2, axis=0)
+    valid2 = jnp.take(tables["face_valid"], obj_ids2, axis=0)
+    face_verts = vertices_to_faces(view, faces2)
+    both_f2pts = vertices_to_faces(proj, faces2)[..., 0:2]
     src_f2pts, ref_f2pts = jnp.split(both_f2pts, 2, axis=0)
+
+    # both halves key their tables off the SRC object id (trainer.py:58-60)
+    # and the ref half warps the SRC face corners; the src half's extra
+    # columns ride the same gathered rows and are simply unused
+    attrs = rend.build_attr_table(
+        tables, obj_ids2,
+        extra_f2pts=jnp.concatenate([src_f2pts, src_f2pts], axis=0),
+    )
+    both_fim, both_wim, rows = rasterize_fim_wim_auto(
+        face_verts, valid2, image_size=cfg.image_size, near=0.1, far=25.0,
+        attrs=attrs,
+    )
     src_fim, ref_fim = jnp.split(both_fim, 2, axis=0)
     src_wim, ref_wim = jnp.split(both_wim, 2, axis=0)
-
-    # one fused wide-row gather per side replaces the reference's separate
-    # encode_fim / encode_sem / sample_from_texture_dense / cal_bc fetches
-    # (renderer.encode_and_warp — values identical, gathers packed)
-    src_cond, src_sem, t_src, _ = rend.encode_and_warp(
-        tables, obj_ids, src_fim, src_wim
+    cond2, sem2, t_uv2, t_extra2 = rend.split_encoded_rows(
+        rows, both_fim, both_wim
     )
-    ref_cond, ref_sem, t_ref, t_flow = rend.encode_and_warp(
-        tables, obj_ids, ref_fim, ref_wim, extra_f2pts=src_f2pts
-    )
+    src_cond, ref_cond = jnp.split(cond2, 2, axis=0)
+    src_sem, ref_sem = jnp.split(sem2, 2, axis=0)
+    t_src, t_ref = jnp.split(t_uv2, 2, axis=0)
+    t_flow = jnp.split(t_extra2, 2, axis=0)[1]
     src_seg = _seg_onehot(src_sem, cfg.num_seg_channels)
     ref_seg = _seg_onehot(ref_sem, cfg.num_seg_channels)
     src_mask_hand = _hand_mask(src_fim)

@@ -376,6 +376,51 @@ def encode_and_warp(
     return cond, semm, t_uv, t_extra
 
 
+def build_attr_table(
+    tables: dict, obj_ids: jax.Array, extra_f2pts: jax.Array | None = None
+) -> jax.Array:
+    """Per-face attribute rows for the fused rasterize+encode path.
+
+    Returns (B, Fmax+1, 10|16): [map_fn(3) | sem(1) | atlas uv corners(6)
+    [| extra face-corner xy(6)]] with row Fmax = the background row —
+    exactly the packed table encode_and_warp builds, exposed so the
+    rasterizer's finish gather can fetch it in the SAME per-pixel gather
+    that reads the barycentric rows (ops/rasterizer_pallas.py)."""
+    b = obj_ids.shape[0]
+    map_fn = jnp.take(tables["map_fn"], obj_ids, axis=0)  # (B, F+1, 3)
+    sem = jnp.take(tables["sem"], obj_ids, axis=0)  # (B, F+1, 1)
+    f_max = tables["map_fn"].shape[1] - 1
+    uvc = jnp.take(tables["faces_uv_coord"], obj_ids, axis=0).reshape(
+        b, f_max, 6
+    )
+    pad_row = lambda a: jnp.pad(a, ((0, 0), (0, 1), (0, 0)))
+    parts = [map_fn, sem, pad_row(uvc)]
+    if extra_f2pts is not None:
+        parts.append(pad_row(extra_f2pts.reshape(b, f_max, 6)))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def split_encoded_rows(rows: jax.Array, fim: jax.Array, wim: jax.Array):
+    """Per-pixel attribute rows -> (cond, sem, t_uv, t_extra|None).
+
+    Identical math to encode_and_warp's tail: the first 4 columns are the
+    condition/semantic values, the uv/extra corner columns are contracted
+    against wim with the -2 background fill."""
+    cond = rows[..., :3].transpose(0, 3, 1, 2)
+    semm = rows[..., 3:4].transpose(0, 3, 1, 2)
+    exist = fim >= 0
+    b, s1, s2 = fim.shape
+
+    def warp(corner_cols):
+        corners = corner_cols.reshape(b, s1, s2, 3, 2)
+        t = jnp.sum(corners * wim[..., None], axis=-2)
+        return jnp.where(exist[..., None], t, -2.0)
+
+    t_uv = warp(rows[..., 4:10])
+    t_extra = warp(rows[..., 10:16]) if rows.shape[-1] > 10 else None
+    return cond, semm, t_uv, t_extra
+
+
 def _barycentric_warp(f2pts: jax.Array, fim: jax.Array, wim: jax.Array) -> tuple:
     """Per-pixel source coords by barycentric interpolation of face verts.
 

@@ -137,8 +137,20 @@ def rasterize_fim_wim_pallas(
     image_size: int = 256,
     near: float = 0.1,
     far: float = 100.0,
+    attrs: jax.Array | None = None,
 ):
-    """Pallas fim/wim with the same contract as rasterize_fim_wim."""
+    """Pallas fim/wim with the same contract as rasterize_fim_wim.
+
+    attrs: optional (B, F+1, A) per-face attribute rows (row F = the
+    background row). When given, the winner-only finish gathers
+    [finv | attrs] as ONE flat row per pixel and additionally returns
+    rows (B, S, S, A) — fusing the conditioning stage's fim-indexed
+    encode gather (renderer.encode_and_warp) into the gather the finish
+    already performs. TPU gathers are issue-rate-bound per ROW, so one
+    25-float-row gather costs what the 9-float one did, and the whole
+    separate encode gather disappears from the step (PERF.md r3: the
+    small-lane geometry gathers were the largest non-conv bucket).
+    """
     b, f = face_verts.shape[0], face_verts.shape[1]
     f_pad = -(-f // CHUNK) * CHUNK
 
@@ -212,24 +224,33 @@ def rasterize_fim_wim_pallas(
     xi = jax.lax.broadcasted_iota(jnp.float32, (s, s), 1).reshape(-1)
     yi = jax.lax.broadcasted_iota(jnp.float32, (s, s), 0).reshape(-1)
 
-    def finish(idx_i, finv_i):
+    def finish(idx_i, finv_i, attr_i=None):
         hit = idx_i.reshape(-1) >= 0
         safe = jnp.clip(idx_i.reshape(-1), 0)
-        # gather flat (F, 9) rows: a [N,3,3] gather output gets the
+        # gather flat (F, 9[+A]) rows: a [N,3,3] gather output gets the
         # (4,128) tile on its LAST TWO dims — 56x padding waste plus a
         # layout copy (1.4+4.8 ms on the step profile); same math on
         # strided columns of the flat rows
-        fw = finv_i.reshape(-1, 9)[safe]  # (N, 9)
-        w = (fw[:, 0::3] * xi[:, None] + fw[:, 1::3] * yi[:, None]
-             + fw[:, 2::3])
+        table = finv_i.reshape(-1, 9)
+        if attr_i is not None:
+            table = jnp.concatenate([table, attr_i[:-1]], axis=1)
+        fw = table[safe]  # (N, 9[+A])
+        w = (fw[:, 0:9:3] * xi[:, None] + fw[:, 1:9:3] * yi[:, None]
+             + fw[:, 2:9:3])
         w = jnp.clip(w, 0.0, 1.0)
         w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
         fim = jnp.where(hit, idx_i.reshape(-1), -1).reshape(s, s)
         wim = jnp.where(hit[:, None], w, 0.0).reshape(s, s, 3)
-        return fim[::-1], wim[::-1]
+        if attr_i is None:
+            return fim[::-1], wim[::-1]
+        rows = jnp.where(hit[:, None], fw[:, 9:], attr_i[-1][None])
+        return fim[::-1], wim[::-1], rows.reshape(s, s, -1)[::-1]
 
-    fim, wim = jax.vmap(finish)(idx, finv)
-    return fim, wim
+    if attrs is None:
+        fim, wim = jax.vmap(finish)(idx, finv)
+        return fim, wim
+    fim, wim, rows = jax.vmap(finish)(idx, finv, attrs)
+    return fim, wim, rows
 
 
 def rasterize_fim_wim_auto(
@@ -238,10 +259,17 @@ def rasterize_fim_wim_auto(
     image_size: int = 256,
     near: float = 0.1,
     far: float = 100.0,
+    attrs: jax.Array | None = None,
 ):
     """Backend-dispatched fim/wim: the Pallas tiled kernel on TPU (2.3x the
     XLA path on compact HOI scenes at real YCB face counts), the XLA chunked
-    reduction elsewhere (CPU tests, odd image sizes)."""
+    reduction elsewhere (CPU tests, odd image sizes).
+
+    With `attrs` (B, F+1, A; row F = background) additionally returns the
+    per-pixel attribute rows (B, S, S, A) — on TPU fused into the finish
+    gather (see rasterize_fim_wim_pallas), elsewhere an equivalent
+    separate take_along_axis (bit-identical to renderer.encode_and_warp's
+    fetch: fim < 0 resolves to the background row)."""
     from hoig_tpu.ops.rasterizer import rasterize_fim_wim
 
     use_pallas = (
@@ -251,8 +279,17 @@ def rasterize_fim_wim_auto(
     )
     if use_pallas:
         return rasterize_fim_wim_pallas(
-            face_verts, face_valid, image_size=image_size, near=near, far=far
+            face_verts, face_valid, image_size=image_size, near=near, far=far,
+            attrs=attrs,
         )
-    return rasterize_fim_wim(
+    out = rasterize_fim_wim(
         face_verts, face_valid, image_size=image_size, near=near, far=far
     )
+    if attrs is None:
+        return out
+    fim, wim = out
+    b, s1, s2 = fim.shape
+    f_max = attrs.shape[1] - 1
+    idx = jnp.where(fim < 0, f_max, fim).reshape(b, s1 * s2, 1)
+    rows = jnp.take_along_axis(attrs, idx, axis=1).reshape(b, s1, s2, -1)
+    return fim, wim, rows

@@ -25,7 +25,14 @@ image_size=256
 
 # training configs
 load_path="None"
-batch_size=4
+# per-chip batch. The recommended TPU deployment is batch_size=8 on a
+# 4-chip mesh: 4 x 8 = the reference's global batch 32 exactly
+# (8 GPUs x 4, reference train_hov3_ddp.sh:31,52) at ~0.71x the
+# per-image step cost of b4 (measured 29.1% vs 21.4% MFU, PERF.md).
+# An 8-chip mesh reproduces the reference layout exactly with
+# BATCH_SIZE=4. Both legs are benchmarked honestly in BENCH_DETAILS.json
+# (train_bf16 = b4, train_bf16_b8 = b8).
+batch_size=${BATCH_SIZE:-8}
 lambda_rec=10.0
 lambda_tsf=10.0
 lambda_mask=1.0

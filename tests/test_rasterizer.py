@@ -155,3 +155,47 @@ def test_soft_silhouette_differentiable():
     # growing the triangle must grow the area: gradient along outward x
     assert g[0, 0, 1, 0] > 0  # right vertex, +x grows area
     assert g[0, 0, 0, 0] < 0  # left vertex, -x grows area
+
+
+def test_fused_attr_rows_match_separate_encode(rng):
+    """rasterize_fim_wim_auto(attrs=...) must return exactly the rows a
+    separate fim-indexed encode gather produces — the fused finish-gather
+    path (TPU) and the take_along_axis fallback share one contract with
+    renderer.encode_and_warp (fim < 0 -> background row)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    import hoig_tpu.ops.rasterizer_pallas as rp
+
+    B, F, S, A = 2, 300, 128, 16
+    fv = rng.randn(B, F, 3, 3).astype(np.float32) * 0.4
+    fv[:, :, :, 2] = np.abs(fv[:, :, :, 2]) + 1.5
+    valid = rng.rand(B, F) > 0.1
+    attrs = rng.randn(B, F + 1, A).astype(np.float32)
+
+    # fallback path (XLA rasterizer + take_along_axis)
+    fim, wim, rows = rp.rasterize_fim_wim_auto(
+        jnp.asarray(fv), jnp.asarray(valid), image_size=S,
+        attrs=jnp.asarray(attrs),
+    )
+    fim, rows = np.asarray(fim), np.asarray(rows)
+    idx = np.where(fim < 0, F, fim)
+    expect = np.take_along_axis(
+        attrs, idx.reshape(B, -1, 1), axis=1
+    ).reshape(B, S, S, A)
+    np.testing.assert_array_equal(rows, expect)
+
+    # pallas finish gather (interpret mode) — same fim/wim AND rows
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        fim_p, wim_p, rows_p = rp.rasterize_fim_wim_pallas(
+            jnp.asarray(fv), jnp.asarray(valid), image_size=S,
+            attrs=jnp.asarray(attrs),
+        )
+        np.testing.assert_array_equal(np.asarray(fim_p), fim)
+        np.testing.assert_allclose(np.asarray(wim_p), np.asarray(wim), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(rows_p), expect)
+    finally:
+        pl.pallas_call = orig

@@ -34,12 +34,18 @@ per-leg MFU) are written to BENCH_DETAILS.json and stderr.
 Timing integrity (round-4 fix): round 3's driver capture recorded a
 physically impossible 6.95 ms/step (MFU 904%) because the loop blocked
 only on state.step, whose data-dependency chain is step+1 and does NOT
-depend on the gradient work — on the async 'axon' platform
-block_until_ready(state.step) can return before the heavy computation
-retires. Every leg now (a) blocks on the FULL (state, metrics) output
-tree, (b) cross-checks the pipelined-loop time against per-step-blocked
-steps and hard-fails on >2.2x disagreement, and (c) hard-fails any leg
-whose MFU >= 100% of MXU peak, all BEFORE the headline JSON is printed.
+depend on the gradient work. Worse, direct probes show that on the
+remote 'axon' platform block_until_ready can return without flushing
+client-queued work at all (a 137-GFLOP matmul chain "timed" at
+0.004 ms/iter until a device_get forced execution: 2.1 ms/iter), and a
+device_get costs a ~33 ms tunnel roundtrip. Every leg therefore
+(a) chains steps through the donated TrainState so the device cannot
+reorder or elide them, (b) ends every timed region with a device_get of
+one metrics scalar — the only true sync — and reports the DIFFERENCE of
+a 2k-step and a k-step loop so the constant roundtrip overhead cancels
+exactly, (c) cross-checks against per-step-synced steps and hard-fails
+on >2.2x disagreement, and (d) hard-fails any leg whose MFU >= 100% of
+MXU peak, all BEFORE the headline JSON is printed.
 
 MFU denominators: every leg's MFU divides that leg's OWN cost-analysis
 TFLOP/s by the v5e MXU peak (197e12). The same bf16 peak is the correct
@@ -172,25 +178,41 @@ def main():
         except Exception as e:  # cost analysis is best-effort on plugins
             log(f"{tag}: AOT cost analysis unavailable ({e})")
             step = jax.jit(step_fn, donate_argnums=(0,))
+        def sync(metrics_):
+            # device_get of one scalar: the only true sync on this
+            # platform (block_until_ready can return without flushing)
+            jax.device_get(jax.tree.leaves(metrics_)[0])
+
         state, metrics = step(state, bt, jnp.asarray(True))
-        # block on the FULL output tree: metrics depend on the whole
-        # gradient graph; state.step alone is step+1 and retires early on
-        # the async axon platform (the r3 904%-MFU artifact)
-        jax.block_until_ready((state, metrics))
+        sync(metrics)
         details[f"{tag}_compile_s"] = round(time.time() - t0, 1)
-        # cross-check reference: per-step-blocked timing (min of 3) — an
-        # upper bound on true step time, immune to async-dispatch artifacts
+        # cross-check reference: per-step-synced timing (min of 3) — an
+        # upper bound on true step time (includes one ~33 ms roundtrip),
+        # immune to async-dispatch artifacts
         blocked_ms = float("inf")
         for _ in range(3):
             t0 = time.time()
             state, metrics = step(state, bt, jnp.asarray(True))
-            jax.block_until_ready((state, metrics))
+            sync(metrics)
             blocked_ms = min(blocked_ms, (time.time() - t0) * 1e3)
-        t0 = time.time()
-        for _ in range(n_iter):
-            state, metrics = step(state, bt, jnp.asarray(True))
-        jax.block_until_ready((state, metrics))
-        dt = time.time() - t0
+
+        # headline: difference of a 2k-loop and a k-loop (steps chain
+        # through the donated state; ONE sync ends each loop, and the
+        # constant sync/dispatch overhead cancels in the difference)
+        def loop(k):
+            nonlocal state
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                for _ in range(k):
+                    state, m = step(state, bt, jnp.asarray(True))
+                sync(m)
+                best = min(best, time.time() - t0)
+            return best
+
+        t1 = loop(n_iter)
+        t2 = loop(2 * n_iter)
+        dt = max(t2 - t1, 1e-9)
         step_ms = dt / n_iter * 1e3
         details[f"{tag}_step_ms"] = round(step_ms, 2)
         details[f"{tag}_step_ms_blocked"] = round(blocked_ms, 2)
@@ -199,7 +221,7 @@ def main():
         if step_ms < blocked_ms / 2.2:
             raise RuntimeError(
                 f"{tag}: TIMING ARTIFACT — pipelined loop measured "
-                f"{step_ms:.2f} ms/step but per-step-blocked is "
+                f"{step_ms:.2f} ms/step but per-step-synced is "
                 f"{blocked_ms:.2f} ms; refusing to report"
             )
         ips = B_ * n_iter / dt / n_chips
@@ -286,14 +308,28 @@ def main():
     except Exception as e:  # cost analysis is best-effort on plugin backends
         log(f"cost_analysis unavailable: {e}")
         fwd_j = jax.jit(fwd)
+
+    # forward calls are chained (call i+1's imageA = call i's fake output,
+    # transposed back to NCHW) so the device cannot elide or overlap them;
+    # each timed loop ends with one device_get sync and the k vs 2k loop
+    # difference cancels the constant overhead (see module docstring)
+    def fwd_loop(k, img0):
+        best = float("inf")
+        for _ in range(2):
+            img = img0
+            t0 = time.time()
+            for _ in range(k):
+                out = fwd_j(params_g, dict(batch, imageA=img))
+                img = out[0].transpose(0, 3, 1, 2).astype(img0.dtype)
+            jax.device_get(jnp.ravel(out[0])[:1])
+            best = min(best, time.time() - t0)
+        return best
+
     out = fwd_j(params_g, batch)
-    jax.block_until_ready(out)
-    n = 20
-    t0 = time.time()
-    for _ in range(n):
-        out = fwd_j(params_g, batch)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
+    jax.device_get(jnp.ravel(out[0])[:1])  # compile + flush
+    n = 10
+    dt = max(fwd_loop(2 * n, batch["imageA"]) - fwd_loop(n, batch["imageA"]),
+             1e-9)
     gen_ips = B * n / dt / n_chips
     details["gen_fwd_images_per_sec_per_chip"] = round(gen_ips, 3)
     details["gen_fwd_ms"] = round(dt / n * 1e3, 2)

@@ -428,14 +428,21 @@ def _barycentric_warp(f2pts: jax.Array, fim: jax.Array, wim: jax.Array) -> tuple
     (nmr.py:915-923 etc): T[p] = sum_k wim[p,k] * f2pts[fim[p], k].
 
     Returns (T, exist): T (B, H, W, 2) with -2 fill, exist (B, H, W) bool.
+
+    TPU: the per-pixel 6-float-row fetch from the small (F, 6) face-corner
+    table goes through the MXU one-hot gather (ops/table_gather) instead
+    of an XLA HBM row gather (~30M rows/s — ~7 ms/step for the atlas warp
+    alone); bit-identical values, contraction reordered to channel-first.
     """
+    from hoig_tpu.ops.table_gather import gather_rows
+
     b, h, w = fim.shape
     exist = fim >= 0
     idx = jnp.clip(fim, 0).reshape(b, h * w)
-    corners = jnp.take_along_axis(
-        f2pts.reshape(b, -1, 6), idx[..., None], axis=1
-    ).reshape(b, h, w, 3, 2)
-    t = jnp.sum(corners * wim[..., None], axis=-2)
+    rows = gather_rows(f2pts.reshape(b, -1, 6), idx)  # (B, 6, N)
+    corners = rows.reshape(b, 3, 2, h, w)
+    t = jnp.sum(corners * wim.transpose(0, 3, 1, 2)[:, :, None], axis=1)
+    t = t.transpose(0, 2, 3, 1)
     t = jnp.where(exist[..., None], t, -2.0)
     return t, exist
 
@@ -475,6 +482,101 @@ def _occlusion_from_fim(
     neighbors = jnp.take_along_axis(window, idx, axis=1).reshape(b, h, w, 9)
     visible = jnp.any(neighbors == dst_fim[..., None], axis=-1)
     return (exist & ~visible).astype(jnp.float32)[..., None]
+
+
+def _occlusion_and_sample(
+    t: jax.Array,
+    exist: jax.Array,
+    dst_fim: jax.Array,
+    src_fim: jax.Array,
+    im: jax.Array,
+):
+    """Fused occlusion test + bilinear source fetch: ONE row gather.
+
+    Bit-identical to `_occlusion_from_fim(t, exist, dst_fim, src_fim)`
+    plus `grid_sample_packed(im, t, align_corners=False)`, but both reads
+    ride a single 64-float-row gather: per source pixel the combined row
+    is [R, G, B, fim] (rgb zero-padded, fim edge-padded — each op's own
+    padding semantics), stacked as a 4x4 window spanning positions
+    p-1 .. p+2 around the OCCLUSION center p = floor((t+1)/2*(s-1)). The
+    align_corners=False bilinear base q = floor(((t+1)*s-1)/2) differs
+    from p by t/2 pixels, so q - p in {-1, 0, +1} wherever any bilinear
+    weight is nonzero (|t| <= 1 + 1/s there); the 2x2 footprint
+    q .. q+1 therefore always lies inside the window, and out-of-range
+    corners get zero weight exactly as in grid_sample_packed. The
+    occlusion test reads the 3x3 sub-window p-1 .. p+1. Row gathers are
+    issue-rate-bound on TPU, so halving the passes over the atlas halves
+    the dominant texture-warp cost (PERF.md r3 bucket).
+    """
+    b, h, w = dst_fim.shape
+    s = src_fim.shape[-1]
+    f32 = jnp.float32
+
+    # occlusion center (align-corners-True-like mapping, clamped)
+    tc = jnp.clip(t, -1.0, 1.0)
+    px = jnp.clip(jnp.floor((tc[..., 0] + 1.0) * 0.5 * (s - 1)), 0, s - 1)
+    py = jnp.clip(jnp.floor((tc[..., 1] + 1.0) * 0.5 * (s - 1)), 0, s - 1)
+    px = px.astype(jnp.int32)
+    py = py.astype(jnp.int32)
+
+    # combined per-pixel rows: rgb (zero pad) | fim (edge pad)
+    rgb = im.transpose(0, 2, 3, 1)  # (B, s, s, 3)
+    rgb_p = jnp.pad(rgb, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    fim_p = jnp.pad(
+        src_fim.astype(f32)[..., None], ((0, 0), (1, 2), (1, 2), (0, 0)),
+        mode="edge",
+    )
+    comb = jnp.concatenate([rgb_p, fim_p], axis=-1)  # (B, s+3, s+3, 4)
+    shifts = [
+        comb[:, 1 + dy : 1 + dy + s, 1 + dx : 1 + dx + s]
+        for dy in (-1, 0, 1, 2)
+        for dx in (-1, 0, 1, 2)
+    ]
+    window = jnp.concatenate(shifts, axis=-1).reshape(b, s * s, 64)
+    idx = (py * s + px).reshape(b, -1, 1)
+    rows = jnp.take_along_axis(window, idx, axis=1).reshape(b, h, w, 4, 4, 4)
+
+    # occlusion: any of the 3x3 fim neighbors equals the destination face
+    neighbors = rows[..., :3, :3, 3].reshape(b, h, w, 9)
+    visible = jnp.any(neighbors == dst_fim[..., None].astype(f32), axis=-1)
+    o = (exist & ~visible).astype(f32)[..., None]
+
+    # bilinear fetch from the window (grid_sample_packed semantics)
+    gx = ((t[..., 0].astype(f32) + 1.0) * s - 1.0) * 0.5
+    gy = ((t[..., 1].astype(f32) + 1.0) * s - 1.0) * 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    tx = gx - x0
+    ty = gy - y0
+    # footprint offset inside the window: slot jy = oy + cy, oy in {0,1,2}
+    ox = jnp.clip(x0.astype(jnp.int32) - px + 1, 0, 2)  # (B, h, w)
+    oy = jnp.clip(y0.astype(jnp.int32) - py + 1, 0, 2)
+
+    win = rows[..., :3]  # (B, h, w, 4, 4, 3)
+
+    def sel3(arr, off):
+        """arr[..., slot, ...] (slot on axis 3) at slot = off + {0,1} via
+        two 3-way selects; off is per-pixel in {0,1,2}."""
+        take = lambda k: jax.lax.index_in_dim(arr, k, axis=3, keepdims=False)
+        c = off.reshape(off.shape + (1,) * (take(0).ndim - off.ndim))
+        return [
+            jnp.where(c == 0, take(cc), jnp.where(c == 1, take(cc + 1), take(cc + 2)))
+            for cc in (0, 1)
+        ]
+
+    sel_y = sel3(win, oy)  # two of (B, h, w, 4, 3)
+    out = None
+    for cy, wyv in ((0, 1.0 - ty), (1, ty)):
+        ok_y = (y0 + cy >= 0) & (y0 + cy <= s - 1)
+        row_sel = sel3(sel_y[cy], ox)  # two of (B, h, w, 3)
+        for cx, wxv in ((0, 1.0 - tx), (1, tx)):
+            ok_x = (x0 + cx >= 0) & (x0 + cx <= s - 1)
+            val = row_sel[cx]
+            wgt = jnp.where(ok_y & ok_x, wyv * wxv, 0.0)[..., None]
+            contrib = val * wgt.astype(val.dtype)
+            out = contrib if out is None else out + contrib
+    syn = out.transpose(0, 3, 1, 2)  # (B, 3, h, w)
+    return o, syn
 
 
 def cal_bc_transform(
@@ -537,11 +639,11 @@ def get_texture_backward_warp(
     wim_uv = jnp.take(tables["wim_uv"][:, :, :m], obj_ids, axis=0)
 
     t, exist = _barycentric_warp(src_f2pts, fim_uv, wim_uv)
-    o = _occlusion_from_fim(t, exist, fim_uv, src_fim)  # (B, 256, m, 1)
-
-    # default grid_sample is align_corners=False here (nmr.py:1048);
-    # packed single-gather variant (value-identical, TPU-tuned)
-    syn_tex = grid_sample_packed(im, t, align_corners=False)
+    # fused: the occlusion window test and the align_corners=False
+    # bilinear source fetch share one 64-float-row gather (bit-identical
+    # to _occlusion_from_fim + grid_sample_packed, which remain the
+    # reference formulation and the off-hot-path implementations)
+    o, syn_tex = _occlusion_and_sample(t, exist, fim_uv, src_fim, im)
 
     o = o.transpose(0, 3, 1, 2)  # (B, 1, 256, m)
     o = morph(o, ks=3, mode="erode")

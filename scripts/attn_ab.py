@@ -9,6 +9,19 @@ fwd+bwd time (gradients w.r.t. source, target, flow AND the fc params,
 exactly the training data-dependency set), so the `--corner_engine auto`
 default is backed by per-layer data instead of a whole-step guess.
 
+Timing integrity: iterations are CHAINED through a lax.fori_loop data
+dependency (iteration i+1 consumes iteration i's output), so the device
+must serialize them — a pipelined host loop over independent calls
+mis-reported 0.018 ms for a >=0.5 ms-of-MXU-work shape on the async
+axon platform (the same artifact class as the r3 bench corruption).
+Additionally, on this platform block_until_ready can return without
+flushing client-queued work (measured: a 137-GFLOP matmul chain "timed"
+at 0.004 ms/iter; forcing a device_get revealed 2.1 ms/iter), and a
+device_get costs a ~33 ms tunnel roundtrip. So each measurement times
+ONE chain call and TWO queued chain calls, each ended by a tiny
+device_get sync, and reports (t2 - t1) / n — the constant roundtrip
+overhead cancels exactly.
+
     python scripts/attn_ab.py [--batch 4] [--dtype bf16]
                               [--engines shift,gather,pallas]
 
@@ -71,29 +84,65 @@ def main():
 
             try:
                 params = mod.init(ks[3], source, target, flow)
+                n = args.iters
 
-                fwd = jax.jit(apply)
+                # chained loops: iteration i+1 reads iteration i's result,
+                # so the device cannot overlap or drop iterations
+                @jax.jit
+                def fwd_chain(params, s_, t_, f_):
+                    def body(_, s):
+                        return apply(params, s, t_, f_).astype(s.dtype)
+
+                    return jax.lax.fori_loop(0, n, body, s_)
 
                 def loss(params, s_, t_, f_):
                     return jnp.sum(apply(params, s_, t_, f_).astype(jnp.float32))
 
-                bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+                grad_fn = jax.grad(loss, argnums=(0, 1, 2, 3))
 
-                def timeit(fn, *a):
-                    out = fn(*a)
-                    jax.block_until_ready(out)
-                    # per-call-blocked min-of-3 (immune to async dispatch)
-                    best = float("inf")
-                    for _ in range(3):
-                        t0 = time.time()
-                        for _ in range(args.iters):
-                            out = fn(*a)
-                        jax.block_until_ready(out)
-                        best = min(best, (time.time() - t0) / args.iters)
-                    return best * 1e3
+                @jax.jit
+                def bwd_chain(params, s_, t_, f_):
+                    def body(_, s):
+                        gp, gs, gt, gf = grad_fn(params, s, t_, f_)
+                        # fold every gradient into the carried value so none
+                        # is dead code; normalize to keep the chain finite
+                        scal = jnp.mean(gf.astype(jnp.float32)) + sum(
+                            jnp.sum(g.astype(jnp.float32))
+                            for g in jax.tree.leaves(gp)
+                        )
+                        nxt = (gs + gt).astype(jnp.float32) + scal
+                        norm = jnp.maximum(
+                            jnp.sqrt(jnp.mean(jnp.square(nxt))), 1e-6
+                        )
+                        return (nxt / norm).astype(s.dtype)
 
-                fwd_ms = timeit(fwd, params, source, target, flow)
-                bwd_ms = timeit(bwd, params, source, target, flow)
+                    return jax.lax.fori_loop(0, n, body, s_)
+
+                def sync(x):
+                    # device_get is the only true sync on this platform
+                    jax.device_get(jnp.ravel(x)[:1])
+
+                def timeit(fn):
+                    # both chain calls consume the previous output as the
+                    # source arg, so a lazy runtime cannot elide either
+                    sync(fn(params, source, target, flow))  # compile+warm
+
+                    def once(k):
+                        best = float("inf")
+                        for _ in range(3):
+                            t0 = time.time()
+                            out = source
+                            for _ in range(k):
+                                out = fn(params, out, target, flow)
+                            sync(out)
+                            best = min(best, time.time() - t0)
+                        return best
+
+                    t1, t2 = once(1), once(2)
+                    return max(t2 - t1, 0.0) / n * 1e3
+
+                fwd_ms = timeit(fwd_chain)
+                bwd_ms = timeit(bwd_chain)
             except Exception as e:
                 print(f"({h},{c}) {engine}: FAILED {type(e).__name__}: {e}",
                       file=sys.stderr)

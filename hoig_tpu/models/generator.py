@@ -209,10 +209,6 @@ class ExtractorAttn(nn.Module):
         }
         offsets = [(ty, tx) for ty in range(-r, r + 1) for tx in range(-r, r + 1)]
 
-        def shifted(padded, dy, dx):
-            s_ = jax.lax.slice_in_dim(padded, PAD + dy, PAD + dy + h, axis=1)
-            return jax.lax.slice_in_dim(s_, PAD + dx, PAD + dx + w, axis=2)
-
         # fc_0 source half via the conv-collapse identity: the bilinear
         # coefficient fields do not depend on the offset t, so
         #   sum_t sum_e Axy[e] * (src @ W_t)[p+t+e]
@@ -229,10 +225,32 @@ class ExtractorAttn(nn.Module):
             src_pad, w0c[:, :, c:], (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )  # (B, h+2*halo, w+2*halo, 128): G on the corner-shift halo
-        for (ey, ex), coeff in Axy.items():
-            gs = jax.lax.slice_in_dim(G, halo + ey, halo + ey + h, axis=1)
-            gs = jax.lax.slice_in_dim(gs, halo + ex, halo + ex + w, axis=2)
-            acc = acc + coeff * gs
+
+        # the two weighted-shift combinations below are the engine's
+        # bandwidth core: on TPU they run as ONE VMEM-resident Pallas
+        # kernel each (ops/local_combine, f32 accumulation; XLA evaluated
+        # them as dozens of fusions that each re-read the operand from
+        # HBM — 29.3 ms fwd+bwd for the single 128px layer, attn_ab.py)
+        from hoig_tpu.ops.local_combine import (
+            local_combine,
+            local_combine_reference,
+        )
+
+        combine = (
+            local_combine
+            if jax.default_backend() == "tpu"
+            else local_combine_reference
+        )
+
+        axy_stack = jnp.concatenate(
+            [
+                Axy[(ey, ex)]
+                for ey in range(LO, HI + 2)
+                for ex in range(LO, HI + 2)
+            ],
+            axis=-1,
+        )  # (B, h, w, 49), offsets row-major in [-halo, halo]^2
+        acc = acc + combine(G, axy_stack, halo).astype(acc.dtype)
 
         hdn = nn.leaky_relu(acc, negative_slope=0.01)
         logits = jnp.einsum("bhwf,fk->bhwk", hdn, w1[0, 0].astype(cd)) + b1.astype(cd)
@@ -253,7 +271,8 @@ class ExtractorAttn(nn.Module):
                 term = at * Ax[ex]
                 Vxf[key] = term if key not in Vxf else Vxf[key] + term
 
-        out = None
+        vs = []
+        zero = None
         for dy in range(-PAD, PAD + 1):
             for dx in range(-PAD, PAD + 1):
                 vd = None
@@ -263,10 +282,13 @@ class ExtractorAttn(nn.Module):
                         t2 = Ay[ey] * Vxf[kx]
                         vd = t2 if vd is None else vd + t2
                 if vd is None:
-                    continue
-                term = vd * shifted(src_pad, dy, dx)
-                out = term if out is None else out + term
-        return (out / (k * k)).astype(source.dtype)
+                    if zero is None:
+                        zero = jnp.zeros((b, h, w, 1), cd)
+                    vd = zero
+                vs.append(vd)
+        v121 = jnp.concatenate(vs, axis=-1)  # (B, h, w, (2*PAD+1)^2)
+        out = combine(src_pad, v121, PAD)
+        return (out.astype(cd) / (k * k)).astype(source.dtype)
 
     def _pallas_engine(self, source, flow, acc, w0c, w1, b1, cd):
         """Fused VMEM-resident kernel (ops/attn_pallas.py): the whole

@@ -77,10 +77,11 @@ def _split3_bf16(t: jax.Array) -> jax.Array:
 def _gather_kernel(idx_ref, tab_ref, out_ref, *, r_pad):
     """One (batch, pixel-tile) program: out[A, P_TILE] = tab @ one_hot.
 
-    idx_ref: (1, 1, P_TILE) int32; tab_ref: (1, 3, A_pad, r_pad) bf16
-    (the 3 exact split planes); out_ref: (1, A_pad, P_TILE) f32.
+    idx_ref: (1, 1, 1, P_TILE) int32 (unit axes satisfy the Mosaic
+    block-shape rule); tab_ref: (1, 3, A_pad, r_pad) bf16 (the 3 exact
+    split planes); out_ref: (1, A_pad, P_TILE) f32.
     """
-    idx = idx_ref[0, 0, :]  # (P_TILE,)
+    idx = idx_ref[0, 0, 0, :]  # (P_TILE,)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (r_pad, P_TILE), 0)
     one_hot = (iota_r == idx[None, :]).astype(jnp.bfloat16)  # (R, P)
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
@@ -116,14 +117,14 @@ def gather_rows_mxu(table: jax.Array, idx: jax.Array) -> jax.Array:
     tab_t = _split3_bf16(tab.transpose(0, 2, 1)).transpose(1, 0, 2, 3)
     # (B, 3, A_pad, R_pad) bf16
     idx_p = jnp.pad(idx, ((0, 0), (0, p_pad - p))).reshape(
-        b, p_pad // P_TILE, P_TILE
+        b, p_pad // P_TILE, 1, P_TILE
     )
 
     out = pl.pallas_call(
         functools.partial(_gather_kernel, r_pad=r_pad),
         grid=(b, p_pad // P_TILE),
         in_specs=[
-            pl.BlockSpec((1, 1, P_TILE), lambda bb, tp: (bb, tp, 0),
+            pl.BlockSpec((1, 1, 1, P_TILE), lambda bb, tp: (bb, tp, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, a_pad, r_pad), lambda bb, tp: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),

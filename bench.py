@@ -85,6 +85,14 @@ def main():
     #       tunnel; A/B sweeps only need the headline train step)
     engine = os.environ.get("HOIG_BENCH_ENGINE", "auto")
     headline_only = os.environ.get("HOIG_BENCH_HEADLINE_ONLY") == "1"
+    # wall-clock budget for the DIAGNOSTIC legs (seconds): each cold
+    # compile through the remote-compile tunnel is 5-10 min; round 4's
+    # driver capture timed out (rc=124) before ANY number was printed
+    # because the gen-fwd leg compiled first. The headline leg now runs
+    # first unconditionally; every later leg is skipped once the budget
+    # is exhausted so the run always ends with a valid headline.
+    budget_s = float(os.environ.get("HOIG_BENCH_BUDGET_S", "2700"))
+    t_start = time.time()
     extra_flags = os.environ.get("HOIG_BENCH_XLA_FLAGS")
     if extra_flags:
         os.environ["XLA_FLAGS"] = (
@@ -270,99 +278,29 @@ def main():
         log(json.dumps(details, indent=1))
         return
 
-    # generator forward (BASELINE.md's second metric) + model FLOPs —
-    # measured in the SAME bf16 production config as the headline so the
-    # MFU numerator and denominator share one precision mode
-    tcfg = TrainConfig(image_size=S, **bf16_cfg)
-    g, _ = build_networks(tcfg)
-    rng = jax.random.PRNGKey(0)
+    def flush_details():
+        with open("BENCH_DETAILS.json", "w") as fp:
+            json.dump(details, fp, indent=1)
 
-    def fwd(params_g, b_):
-        flow = hand_recovery_flow(
-            tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
-            b_["manoB"], ccfg,
-        )
-        kw = generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
-        return composite(g.apply(params_g, **kw))
+    def budget_left(leg):
+        remaining = budget_s - (time.time() - t_start)
+        if remaining < 600.0:  # a cold leg is 5-10 min of compile
+            log(f"{leg}: SKIPPED — diagnostic budget exhausted "
+                f"({remaining:.0f}s left of {budget_s:.0f}s)")
+            details.setdefault("legs_skipped_for_budget", []).append(leg)
+            flush_details()
+            return False
+        return True
 
-    def gkw_shape(b_):
-        flow = hand_recovery_flow(
-            tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
-            b_["manoB"], ccfg,
-        )
-        return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
-
-    shapes = jax.eval_shape(gkw_shape, batch)
-    gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
-           for k, v in shapes.items()}
-    params_g = jax.jit(lambda r, kw: g.init(r, **kw))(rng, gkw)
-    flops_per_image = None
-    try:
-        # AOT-compile once; reuse the executable for timing (a separate
-        # fwd_j() call would compile a second identical program)
-        fwd_j = jax.jit(fwd).lower(params_g, batch).compile()
-        ca = fwd_j.cost_analysis()
-        if ca and ca.get("flops"):
-            flops_per_image = float(ca["flops"]) / B
-            details["gen_fwd_flops_per_image"] = flops_per_image
-    except Exception as e:  # cost analysis is best-effort on plugin backends
-        log(f"cost_analysis unavailable: {e}")
-        fwd_j = jax.jit(fwd)
-
-    # forward calls are chained (call i+1's imageA = call i's fake output,
-    # transposed back to NCHW) so the device cannot elide or overlap them;
-    # each timed loop ends with one device_get sync and the k vs 2k loop
-    # difference cancels the constant overhead (see module docstring)
-    def fwd_loop(k, img0):
-        best = float("inf")
-        for _ in range(2):
-            img = img0
-            t0 = time.time()
-            for _ in range(k):
-                out = fwd_j(params_g, dict(batch, imageA=img))
-                img = out[0].transpose(0, 3, 1, 2).astype(img0.dtype)
-            jax.device_get(jnp.ravel(out[0])[:1])
-            best = min(best, time.time() - t0)
-        return best
-
-    out = fwd_j(params_g, batch)
-    jax.device_get(jnp.ravel(out[0])[:1])  # compile + flush
-    n = 10
-    dt = max(fwd_loop(2 * n, batch["imageA"]) - fwd_loop(n, batch["imageA"]),
-             1e-9)
-    gen_ips = B * n / dt / n_chips
-    details["gen_fwd_images_per_sec_per_chip"] = round(gen_ips, 3)
-    details["gen_fwd_ms"] = round(dt / n * 1e3, 2)
-    if flops_per_image:
-        tf = flops_per_image * gen_ips / 1e12
-        details["gen_fwd_tflops_per_sec"] = round(tf, 2)
-        details["gen_fwd_mfu_vs_mxu_peak"] = round(tf * 1e12 / V5E_MXU_PEAK, 4)
-    log(f"gen_fwd (bf16): {gen_ips:.3f} img/s/chip")
-
-    # headline: bf16 train step (production path)
+    # HEADLINE FIRST (round-4 lesson: the driver timeout must never lose
+    # it): bf16 train step in the production config
     value = bench_step("train_bf16", TrainConfig(image_size=S, **bf16_cfg))
-
-    # vs_baseline uses the FROZEN r1-derived denominator in every mode;
-    # the fresh re-derivation is recorded as a diagnostic only
-    vs = value / A100_EST_IMG_S
     details["baseline_estimate"] = {
         "a100_train_img_s_per_gpu_FROZEN": A100_EST_IMG_S,
         "derivation": "156e12 TF32 peak * 0.30 util / (3 * gen_fwd_flops"
                       "_per_image), frozen at the r1 derivation; reference "
                       "publishes no throughput",
     }
-    if flops_per_image:
-        details["baseline_estimate"]["a100_img_s_rederived_diagnostic"] = round(
-            A100_TF32_PEAK * A100_UTILIZATION / (3.0 * flops_per_image), 3
-        )
-
-    def flush_details():
-        with open("BENCH_DETAILS.json", "w") as fp:
-            json.dump(details, fp, indent=1)
-
-    # print the ONE headline JSON line NOW — the remaining legs are extra
-    # diagnostics and each costs minutes of compile; a harness timeout
-    # must not lose the headline result
     flush_details()
     print(
         json.dumps(
@@ -370,50 +308,138 @@ def main():
                 "metric": "hogan_train_step_images_per_sec_per_chip_256_bf16",
                 "value": round(value, 3),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(vs, 3),
+                "vs_baseline": round(value / A100_EST_IMG_S, 3),
             }
         ),
         flush=True,
     )
 
+    # generator forward (BASELINE.md's second metric) + model FLOPs —
+    # measured in the SAME bf16 production config as the headline so the
+    # MFU numerator and denominator share one precision mode
+    def gen_fwd_leg():
+        tcfg = TrainConfig(image_size=S, **bf16_cfg)
+        g, _ = build_networks(tcfg)
+        rng = jax.random.PRNGKey(0)
+
+        def fwd(params_g, b_):
+            flow = hand_recovery_flow(
+                tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
+                b_["manoB"], ccfg,
+            )
+            kw = generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
+            return composite(g.apply(params_g, **kw))
+
+        def gkw_shape(b_):
+            flow = hand_recovery_flow(
+                tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
+                b_["manoB"], ccfg,
+            )
+            return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
+
+        shapes = jax.eval_shape(gkw_shape, batch)
+        gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
+               for k, v in shapes.items()}
+        params_g = jax.jit(lambda r, kw: g.init(r, **kw))(rng, gkw)
+        flops_per_image = None
+        try:
+            # AOT-compile once; reuse the executable for timing (a separate
+            # fwd_j() call would compile a second identical program)
+            fwd_j = jax.jit(fwd).lower(params_g, batch).compile()
+            ca = fwd_j.cost_analysis()
+            if ca and ca.get("flops"):
+                flops_per_image = float(ca["flops"]) / B
+                details["gen_fwd_flops_per_image"] = flops_per_image
+        except Exception as e:  # cost analysis is best-effort on plugins
+            log(f"cost_analysis unavailable: {e}")
+            fwd_j = jax.jit(fwd)
+
+        # forward calls are chained (call i+1's imageA = call i's fake
+        # output, transposed back to NCHW) so the device cannot elide or
+        # overlap them; each timed loop ends with one device_get sync and
+        # the k vs 2k loop difference cancels the constant overhead
+        def fwd_loop(k, img0):
+            best = float("inf")
+            for _ in range(2):
+                img = img0
+                t0 = time.time()
+                for _ in range(k):
+                    out = fwd_j(params_g, dict(batch, imageA=img))
+                    img = out[0].transpose(0, 3, 1, 2).astype(img0.dtype)
+                jax.device_get(jnp.ravel(out[0])[:1])
+                best = min(best, time.time() - t0)
+            return best
+
+        out = fwd_j(params_g, batch)
+        jax.device_get(jnp.ravel(out[0])[:1])  # compile + flush
+        n = 10
+        dt = max(fwd_loop(2 * n, batch["imageA"]) - fwd_loop(n, batch["imageA"]),
+                 1e-9)
+        gen_ips = B * n / dt / n_chips
+        details["gen_fwd_images_per_sec_per_chip"] = round(gen_ips, 3)
+        details["gen_fwd_ms"] = round(dt / n * 1e3, 2)
+        if flops_per_image:
+            tf = flops_per_image * gen_ips / 1e12
+            details["gen_fwd_tflops_per_sec"] = round(tf, 2)
+            details["gen_fwd_mfu_vs_mxu_peak"] = round(
+                tf * 1e12 / V5E_MXU_PEAK, 4
+            )
+            # fresh re-derivation of the A100 estimate: diagnostic only
+            # (the vs_baseline denominator stays FROZEN)
+            details["baseline_estimate"]["a100_img_s_rederived_diagnostic"] = (
+                round(A100_TF32_PEAK * A100_UTILIZATION
+                      / (3.0 * flops_per_image), 3)
+            )
+        log(f"gen_fwd (bf16): {gen_ips:.3f} img/s/chip")
+
+    if budget_left("gen_fwd"):
+        try:
+            gen_fwd_leg()
+        except Exception as e:
+            log(f"gen_fwd leg failed: {e}")
+        flush_details()
+
     try:
         # per-chip batch 8 — the recommended deployment config: 4 chips x
         # b8 = the reference's global batch 32 exactly, at ~0.7x the
         # per-image cost of b4 (PERF.md)
-        bf16_b8 = bench_step(
-            "train_bf16_b8", TrainConfig(image_size=S, **bf16_cfg), b=8
-        )
-        # cross-batch sanity: per-image cost must agree within 2.2x
-        ratio = value / bf16_b8 if bf16_b8 else 0.0
-        if not (1 / 2.2 < ratio < 2.2):
-            details["SANITY_FAIL_b4_vs_b8"] = (
-                f"per-image throughput disagrees {ratio:.1f}x between "
-                f"b4 ({value:.2f}) and b8 ({bf16_b8:.2f} img/s) — "
-                "one of the legs is a timing artifact"
+        if budget_left("train_bf16_b8"):
+            bf16_b8 = bench_step(
+                "train_bf16_b8", TrainConfig(image_size=S, **bf16_cfg), b=8
             )
-            log("SANITY FAIL: " + details["SANITY_FAIL_b4_vs_b8"])
-        flush_details()
+            # cross-batch sanity: per-image cost must agree within 2.2x
+            ratio = value / bf16_b8 if bf16_b8 else 0.0
+            if not (1 / 2.2 < ratio < 2.2):
+                details["SANITY_FAIL_b4_vs_b8"] = (
+                    f"per-image throughput disagrees {ratio:.1f}x between "
+                    f"b4 ({value:.2f}) and b8 ({bf16_b8:.2f} img/s) — "
+                    "one of the legs is a timing artifact"
+                )
+                log("SANITY FAIL: " + details["SANITY_FAIL_b4_vs_b8"])
+            flush_details()
         # DexYCB production variant (fxfy camera, PCA-45 MANO, 24-ch D,
         # hand-seg channels, no masks — SURVEY §2.11 delta table)
-        ycb_ccfg = ConditioningConfig(
-            image_size=S, camera_model="fxfy", mano_pca_comps=45,
-            mano_flat_hand_mean=False,
-        )
-        bench_step(
-            "train_bf16_dexycb",
-            TrainConfig(
-                image_size=S, bg_dim=13, img_cond_dim=9, d_input_nc=24,
-                use_armask=False, **bf16_cfg,
-            ),
-            ccfg_=ycb_ccfg, camera="fxfy", with_masks=False,
-        )
-        flush_details()
+        if budget_left("train_bf16_dexycb"):
+            ycb_ccfg = ConditioningConfig(
+                image_size=S, camera_model="fxfy", mano_pca_comps=45,
+                mano_flat_hand_mean=False,
+            )
+            bench_step(
+                "train_bf16_dexycb",
+                TrainConfig(
+                    image_size=S, bg_dim=13, img_cond_dim=9, d_input_nc=24,
+                    use_armask=False, **bf16_cfg,
+                ),
+                ccfg_=ycb_ccfg, camera="fxfy", with_masks=False,
+            )
+            flush_details()
         # diagnostic: fp32 step (full remat — the only fp32 config that
         # fits HBM); MFU note: TPU runs f32 matmuls as bf16 MXU passes at
         # default precision, so the same MXU peak applies
-        fp32 = bench_step("train_fp32", TrainConfig(image_size=S))
-        details["bf16_speedup"] = round(value / fp32, 3)
-        flush_details()
+        if budget_left("train_fp32"):
+            fp32 = bench_step("train_fp32", TrainConfig(image_size=S))
+            details["bf16_speedup"] = round(value / fp32, 3)
+            flush_details()
     except Exception as e:
         log(f"diagnostic legs failed: {e}")
     # compile-cost visibility (remote-compile fragility tracking): total

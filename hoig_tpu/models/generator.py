@@ -183,31 +183,24 @@ class ExtractorAttn(nn.Module):
         src_c = source.astype(cd)
         fy_rel = jnp.clip(y0 - yf.astype(jnp.int32), LO, HI)
         fx_rel = jnp.clip(x0 - xf.astype(jnp.int32), LO, HI)
-        oh_y = {v: (fy_rel == v)[..., None].astype(cd) for v in range(LO, HI + 1)}
-        oh_x = {v: (fx_rel == v)[..., None].astype(cd) for v in range(LO, HI + 1)}
+        # stacked one-hot floor fields (B,h,w,6) — one vectorized compare
+        # per axis instead of 6 single-channel fields
+        ev = jnp.arange(LO, HI + 1)
+        oh_y = (fy_rel[..., None] == ev).astype(cd)
+        oh_x = (fx_rel[..., None] == ev).astype(cd)
 
-        # per-axis bilinear coefficient fields: the weight a sample with
-        # per-pixel floor f and frac w1 puts on integer shift e is
-        # A[e] = w0 * [f == e] + w1 * [f == e - 1]
-        def coeff_fields(oh, w0_, w1_):
-            A = {}
-            for e in range(LO, HI + 2):
-                t0 = oh[e] * w0_ if LO <= e <= HI else None
-                t1 = oh[e - 1] * w1_ if LO <= e - 1 <= HI else None
-                A[e] = (
-                    t0 + t1 if t0 is not None and t1 is not None
-                    else (t0 if t0 is not None else t1)
-                )
-            return A
-
-        Ay = coeff_fields(oh_y, wy[0], wy[1])
-        Ax = coeff_fields(oh_x, wx[0], wx[1])
-        Axy = {
-            (ey, ex): Ay[ey] * Ax[ex]
-            for ey in range(LO, HI + 2)
-            for ex in range(LO, HI + 2)
-        }
-        offsets = [(ty, tx) for ty in range(-r, r + 1) for tx in range(-r, r + 1)]
+        # per-axis bilinear coefficient STACKS (B,h,w,7): the weight a
+        # sample with per-pixel floor f and frac w1 puts on integer shift
+        # e is A[e] = w0 * [f == e] + w1 * [f == e - 1]; built on the
+        # stacked axis (offset index e-LO in 0..6) so the whole field set
+        # is 2 shifted FMAs on 7-wide tensors rather than 7 scalar-lane
+        # field expressions
+        nil3 = ((0, 0),) * 3
+        Ay = (jnp.pad(oh_y, nil3 + ((0, 1),)) * wy[0]
+              + jnp.pad(oh_y, nil3 + ((1, 0),)) * wy[1])
+        Ax = (jnp.pad(oh_x, nil3 + ((0, 1),)) * wx[0]
+              + jnp.pad(oh_x, nil3 + ((1, 0),)) * wx[1])
+        nE = HI - LO + 2  # 7 coefficient shifts per axis
 
         # fc_0 source half via the conv-collapse identity: the bilinear
         # coefficient fields do not depend on the offset t, so
@@ -242,14 +235,11 @@ class ExtractorAttn(nn.Module):
             else local_combine_reference
         )
 
-        axy_stack = jnp.concatenate(
-            [
-                Axy[(ey, ex)]
-                for ey in range(LO, HI + 2)
-                for ex in range(LO, HI + 2)
-            ],
-            axis=-1,
-        )  # (B, h, w, 49), offsets row-major in [-halo, halo]^2
+        # (B, h, w, 49), offsets row-major in [-halo, halo]^2: one outer
+        # product of the stacked per-axis fields
+        axy_stack = (Ay[..., :, None] * Ax[..., None, :]).reshape(
+            b, h, w, nE * nE
+        )
         acc = acc + combine(G, axy_stack, halo).astype(acc.dtype)
 
         hdn = nn.leaky_relu(acc, negative_slope=0.01)
@@ -258,35 +248,25 @@ class ExtractorAttn(nn.Module):
 
         # output half: out = mean_t attn_t * s_t regrouped per total shift
         # d: out[p] = sum_d V_d[p] * src[p + d],
-        # V_d = sum_t attn_t * Axy[d - t], built SEPARABLY (x then y, one
-        # V live at a time): Vx[(ty, dx)] = sum_ex Ax[ex] attn_(ty,dx-ex),
-        # V_(dy,dx) = sum_ey Ay[ey] Vx[(dy-ey, dx)] — ~780 small-field
-        # ops instead of 25x49
-        Vxf = {}
-        for ty, tx in offsets:
-            t_idx = (ty + r) * k + (tx + r)
-            at = attn[..., t_idx : t_idx + 1]
-            for ex in range(LO, HI + 2):
-                key = (ty, tx + ex)
-                term = at * Ax[ex]
-                Vxf[key] = term if key not in Vxf else Vxf[key] + term
-
-        vs = []
-        zero = None
-        for dy in range(-PAD, PAD + 1):
-            for dx in range(-PAD, PAD + 1):
-                vd = None
-                for ey in range(LO, HI + 2):
-                    kx = (dy - ey, dx)
-                    if kx in Vxf:
-                        t2 = Ay[ey] * Vxf[kx]
-                        vd = t2 if vd is None else vd + t2
-                if vd is None:
-                    if zero is None:
-                        zero = jnp.zeros((b, h, w, 1), cd)
-                    vd = zero
-                vs.append(vd)
-        v121 = jnp.concatenate(vs, axis=-1)  # (B, h, w, (2*PAD+1)^2)
+        # V_(dy,dx) = sum_(ty,tx) attn_(ty,tx) * Ay[dy-ty] * Ax[dx-tx] —
+        # a per-pixel 2D correlation in OFFSET space, built separably on
+        # stacked offset axes: 7 shifted FMAs on (B,h,w,5,11) for the x
+        # pass and 7 more on (B,h,w,11,11) for the y pass, replacing the
+        # ~1000 single-channel field ops of the dict formulation (scalar
+        # vector lanes were the cost: 25 ms/step of multiply_add fusions)
+        nD = 2 * PAD + 1  # 11: total-shift extent per axis
+        attn5 = attn.reshape(b, h, w, k, k)
+        Vx = None  # (B, h, w, k, nD): sum_ex Ax[ex] attn_(ty, dx-ex)
+        for exi in range(nE):
+            term = Ax[..., exi, None, None] * attn5
+            term = jnp.pad(term, nil3 + ((0, 0), (exi, nE - 1 - exi)))
+            Vx = term if Vx is None else Vx + term
+        V = None  # (B, h, w, nD, nD): sum_ey Ay[ey] Vx[(dy-ey, dx)]
+        for eyi in range(nE):
+            term = Ay[..., eyi, None, None] * Vx
+            term = jnp.pad(term, nil3 + ((eyi, nE - 1 - eyi), (0, 0)))
+            V = term if V is None else V + term
+        v121 = V.reshape(b, h, w, nD * nD)
         out = combine(src_pad, v121, PAD)
         return (out.astype(cd) / (k * k)).astype(source.dtype)
 

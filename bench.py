@@ -74,6 +74,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+DIAG_LEGS = ("gen_fwd", "train_bf16_b8", "train_bf16_dexycb", "train_fp32")
+
+
 def main():
     # A/B overrides (default = the measured production config):
     #   HOIG_BENCH_ENGINE=auto|gather|shift|pallas  corner engine for the
@@ -81,18 +84,29 @@ def main():
     #       leg keeps its own measured best (gather)
     #   HOIG_BENCH_XLA_FLAGS="--xla_..."        appended before jax import
     #   HOIG_BENCH_HEADLINE_ONLY=1              skip gen-fwd + diagnostic
-    #       legs (each is a ~20min cold compile on the remote-compile
-    #       tunnel; A/B sweeps only need the headline train step)
-    engine = os.environ.get("HOIG_BENCH_ENGINE", "auto")
+    #       legs (each is a cold compile measured in tens of minutes when
+    #       the remote-compile service is congested; A/B sweeps only need
+    #       the headline train step)
+    #   HOIG_BENCH_BUDGET_S                     wall-clock budget for the
+    #       diagnostic legs (default 2700); the headline is exempt
+    #   HOIG_BENCH_LEG=<name>                   internal: run ONE leg and
+    #       print its details (the orchestrator spawns these)
+    leg = os.environ.get("HOIG_BENCH_LEG")
     headline_only = os.environ.get("HOIG_BENCH_HEADLINE_ONLY") == "1"
-    # wall-clock budget for the DIAGNOSTIC legs (seconds): each cold
-    # compile through the remote-compile tunnel is 5-10 min; round 4's
-    # driver capture timed out (rc=124) before ANY number was printed
-    # because the gen-fwd leg compiled first. The headline leg now runs
-    # first unconditionally; every later leg is skipped once the budget
-    # is exhausted so the run always ends with a valid headline.
-    budget_s = float(os.environ.get("HOIG_BENCH_BUDGET_S", "2700"))
-    t_start = time.time()
+    if leg is None and not headline_only:
+        # Full mode is a thin orchestrator: every leg runs in its OWN
+        # subprocess, sequentially, with an enforced timeout on the
+        # diagnostic legs. Round 4's driver capture timed out (rc=124)
+        # with NO number recorded because a cold leg's compile (which the
+        # in-process budget check cannot interrupt) outlived the driver's
+        # timeout. A subprocess can be killed mid-compile; the headline
+        # JSON line is printed the moment the headline leg returns.
+        return orchestrate()
+    return worker(leg or "train_bf16", headline_only)
+
+
+def worker(leg: str, headline_only: bool):
+    engine = os.environ.get("HOIG_BENCH_ENGINE", "auto")
     extra_flags = os.environ.get("HOIG_BENCH_XLA_FLAGS")
     if extra_flags:
         os.environ["XLA_FLAGS"] = (
@@ -171,13 +185,18 @@ def main():
         step_fn = make_train_step(
             g, d, vgg, vgg_params, tables, mano_params, ccfg_, tcfg
         )
+        # constant data rides as a runtime argument: without this the VGG
+        # weights + tables are baked into the module as ~60 MB of MLIR
+        # constants, which the remote compile helper was OOM-killed on
+        frozen = dict(vgg_params=vgg_params, tables=tables,
+                      mano_params=mano_params)
         flops = None
         t0 = time.time()
         try:
             # AOT compile: one executable for cost analysis AND timing
             step = (
                 jax.jit(step_fn, donate_argnums=(0,))
-                .lower(state, bt, jnp.asarray(True))
+                .lower(state, bt, jnp.asarray(True), frozen)
                 .compile()
             )
             ca = step.cost_analysis()
@@ -191,7 +210,7 @@ def main():
             # platform (block_until_ready can return without flushing)
             jax.device_get(jax.tree.leaves(metrics_)[0])
 
-        state, metrics = step(state, bt, jnp.asarray(True))
+        state, metrics = step(state, bt, jnp.asarray(True), frozen)
         sync(metrics)
         details[f"{tag}_compile_s"] = round(time.time() - t0, 1)
         # cross-check reference: per-step-synced timing (min of 3) — an
@@ -200,7 +219,7 @@ def main():
         blocked_ms = float("inf")
         for _ in range(3):
             t0 = time.time()
-            state, metrics = step(state, bt, jnp.asarray(True))
+            state, metrics = step(state, bt, jnp.asarray(True), frozen)
             sync(metrics)
             blocked_ms = min(blocked_ms, (time.time() - t0) * 1e3)
 
@@ -213,7 +232,7 @@ def main():
             for _ in range(2):
                 t0 = time.time()
                 for _ in range(k):
-                    state, m = step(state, bt, jnp.asarray(True))
+                    state, m = step(state, bt, jnp.asarray(True), frozen)
                 sync(m)
                 best = min(best, time.time() - t0)
             return best
@@ -278,23 +297,171 @@ def main():
         log(json.dumps(details, indent=1))
         return
 
+    # generator forward (BASELINE.md's second metric) + model FLOPs —
+    # measured in the SAME bf16 production config as the headline so the
+    # MFU numerator and denominator share one precision mode
+    def gen_fwd_leg():
+        tcfg = TrainConfig(image_size=S, **bf16_cfg)
+        g, _ = build_networks(tcfg)
+        rng = jax.random.PRNGKey(0)
+
+        def fwd(params_g, b_, fz):
+            flow = hand_recovery_flow(
+                fz["tables"], fz["mano_params"], b_["imageA"], b_["imageB"],
+                b_["manoA"], b_["manoB"], ccfg,
+            )
+            kw = generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
+            return composite(g.apply(params_g, **kw))
+
+        frozen = dict(tables=tables, mano_params=mano_params)
+
+        def gkw_shape(b_):
+            flow = hand_recovery_flow(
+                tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
+                b_["manoB"], ccfg,
+            )
+            return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
+
+        shapes = jax.eval_shape(gkw_shape, batch)
+        gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
+               for k, v in shapes.items()}
+        params_g = jax.jit(lambda r, kw: g.init(r, **kw))(rng, gkw)
+        flops_per_image = None
+        try:
+            # AOT-compile once; reuse the executable for timing (a separate
+            # fwd_j() call would compile a second identical program)
+            fwd_j = jax.jit(fwd).lower(params_g, batch, frozen).compile()
+            ca = fwd_j.cost_analysis()
+            if ca and ca.get("flops"):
+                flops_per_image = float(ca["flops"]) / B
+                details["gen_fwd_flops_per_image"] = flops_per_image
+        except Exception as e:  # cost analysis is best-effort on plugins
+            log(f"cost_analysis unavailable: {e}")
+            fwd_j = jax.jit(fwd)
+
+        # forward calls are chained (call i+1's imageA = call i's fake
+        # output, transposed back to NCHW) so the device cannot elide or
+        # overlap them; each timed loop ends with one device_get sync and
+        # the k vs 2k loop difference cancels the constant overhead
+        def fwd_loop(k, img0):
+            best = float("inf")
+            for _ in range(2):
+                img = img0
+                t0 = time.time()
+                for _ in range(k):
+                    out = fwd_j(params_g, dict(batch, imageA=img), frozen)
+                    img = out[0].transpose(0, 3, 1, 2).astype(img0.dtype)
+                jax.device_get(jnp.ravel(out[0])[:1])
+                best = min(best, time.time() - t0)
+            return best
+
+        out = fwd_j(params_g, batch, frozen)
+        jax.device_get(jnp.ravel(out[0])[:1])  # compile + flush
+        n = 10
+        dt = max(fwd_loop(2 * n, batch["imageA"]) - fwd_loop(n, batch["imageA"]),
+                 1e-9)
+        gen_ips = B * n / dt / n_chips
+        details["gen_fwd_images_per_sec_per_chip"] = round(gen_ips, 3)
+        details["gen_fwd_ms"] = round(dt / n * 1e3, 2)
+        if flops_per_image:
+            tf = flops_per_image * gen_ips / 1e12
+            details["gen_fwd_tflops_per_sec"] = round(tf, 2)
+            details["gen_fwd_mfu_vs_mxu_peak"] = round(
+                tf * 1e12 / V5E_MXU_PEAK, 4
+            )
+            # fresh re-derivation of the A100 estimate: diagnostic only
+            # (the vs_baseline denominator stays FROZEN)
+            details.setdefault("baseline_estimate", {})[
+                "a100_img_s_rederived_diagnostic"
+            ] = round(
+                A100_TF32_PEAK * A100_UTILIZATION / (3.0 * flops_per_image), 3
+            )
+        log(f"gen_fwd (bf16): {gen_ips:.3f} img/s/chip")
+
+    # ---- single-leg dispatch (the orchestrator spawns one process per leg)
+    if leg == "train_bf16":
+        bench_step("train_bf16", TrainConfig(image_size=S, **bf16_cfg))
+    elif leg == "gen_fwd":
+        gen_fwd_leg()
+    elif leg == "train_bf16_b8":
+        # per-chip batch 8 — the recommended deployment config: 4 chips x
+        # b8 = the reference's global batch 32 exactly, at ~0.7x the
+        # per-image cost of b4 (PERF.md)
+        bench_step("train_bf16_b8", TrainConfig(image_size=S, **bf16_cfg), b=8)
+    elif leg == "train_bf16_dexycb":
+        # DexYCB production variant (fxfy camera, PCA-45 MANO, 24-ch D,
+        # hand-seg channels, no masks — SURVEY §2.11 delta table)
+        ycb_ccfg = ConditioningConfig(
+            image_size=S, camera_model="fxfy", mano_pca_comps=45,
+            mano_flat_hand_mean=False,
+        )
+        bench_step(
+            "train_bf16_dexycb",
+            TrainConfig(
+                image_size=S, bg_dim=13, img_cond_dim=9, d_input_nc=24,
+                use_armask=False, **bf16_cfg,
+            ),
+            ccfg_=ycb_ccfg, camera="fxfy", with_masks=False,
+        )
+    elif leg == "train_fp32":
+        # diagnostic: fp32 step (full remat — the only fp32 config that
+        # fits HBM); MFU note: TPU runs f32 matmuls as bf16 MXU passes at
+        # default precision, so the same MXU peak applies
+        bench_step("train_fp32", TrainConfig(image_size=S))
+    else:
+        raise SystemExit(f"unknown HOIG_BENCH_LEG {leg!r}")
+    print("LEGDETAILS " + json.dumps(details), flush=True)
+
+
+def orchestrate():
+    """Full-mode driver: one subprocess per leg, headline first.
+
+    The orchestrator itself never imports jax, holds no TPU client and
+    cannot get stuck in a compile: a diagnostic leg that exceeds the
+    remaining HOIG_BENCH_BUDGET_S is killed and recorded as skipped, so
+    the process always terminates shortly after the budget even when the
+    remote-compile service hangs (the round-4 failure mode)."""
+    import subprocess
+
+    budget_s = float(os.environ.get("HOIG_BENCH_BUDGET_S", "2700"))
+    t_start = time.time()
+    details = {}
+
     def flush_details():
         with open("BENCH_DETAILS.json", "w") as fp:
             json.dump(details, fp, indent=1)
 
-    def budget_left(leg):
-        remaining = budget_s - (time.time() - t_start)
-        if remaining < 600.0:  # a cold leg is 5-10 min of compile
-            log(f"{leg}: SKIPPED — diagnostic budget exhausted "
-                f"({remaining:.0f}s left of {budget_s:.0f}s)")
-            details.setdefault("legs_skipped_for_budget", []).append(leg)
-            flush_details()
+    def run_leg(name, timeout):
+        env = dict(os.environ)
+        env["HOIG_BENCH_LEG"] = name
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, stdout=subprocess.PIPE, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"{name}: leg killed after {timeout:.0f}s (budget) — skipped")
+            details.setdefault("legs_skipped_for_budget", []).append(name)
             return False
-        return True
+        for line in proc.stdout.splitlines():
+            if line.startswith("LEGDETAILS "):
+                details.update(json.loads(line[len("LEGDETAILS "):]))
+                break
+        else:
+            log(f"{name}: leg exited rc={proc.returncode} with no details")
+            details.setdefault("legs_failed", []).append(name)
+            return False
+        details[f"{name}_wall_s"] = round(time.time() - t0, 1)
+        return proc.returncode == 0
 
-    # HEADLINE FIRST (round-4 lesson: the driver timeout must never lose
-    # it): bf16 train step in the production config
-    value = bench_step("train_bf16", TrainConfig(image_size=S, **bf16_cfg))
+    # HEADLINE FIRST, no timeout (without it there is nothing to report;
+    # the driver's own timeout is the only backstop)
+    ok = run_leg("train_bf16", None)
+    value = details.get("train_bf16_images_per_sec_per_chip")
+    if not ok or not value:
+        flush_details()
+        raise SystemExit("headline train_bf16 leg failed")
     details["baseline_estimate"] = {
         "a100_train_img_s_per_gpu_FROZEN": A100_EST_IMG_S,
         "derivation": "156e12 TF32 peak * 0.30 util / (3 * gen_fwd_flops"
@@ -314,134 +481,30 @@ def main():
         flush=True,
     )
 
-    # generator forward (BASELINE.md's second metric) + model FLOPs —
-    # measured in the SAME bf16 production config as the headline so the
-    # MFU numerator and denominator share one precision mode
-    def gen_fwd_leg():
-        tcfg = TrainConfig(image_size=S, **bf16_cfg)
-        g, _ = build_networks(tcfg)
-        rng = jax.random.PRNGKey(0)
-
-        def fwd(params_g, b_):
-            flow = hand_recovery_flow(
-                tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
-                b_["manoB"], ccfg,
-            )
-            kw = generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
-            return composite(g.apply(params_g, **kw))
-
-        def gkw_shape(b_):
-            flow = hand_recovery_flow(
-                tables, mano_params, b_["imageA"], b_["imageB"], b_["manoA"],
-                b_["manoB"], ccfg,
-            )
-            return generator_kwargs(flow, b_.get("maskA"), b_.get("maskB"), True)
-
-        shapes = jax.eval_shape(gkw_shape, batch)
-        gkw = {k: (None if v is None else jnp.zeros(v.shape, v.dtype))
-               for k, v in shapes.items()}
-        params_g = jax.jit(lambda r, kw: g.init(r, **kw))(rng, gkw)
-        flops_per_image = None
-        try:
-            # AOT-compile once; reuse the executable for timing (a separate
-            # fwd_j() call would compile a second identical program)
-            fwd_j = jax.jit(fwd).lower(params_g, batch).compile()
-            ca = fwd_j.cost_analysis()
-            if ca and ca.get("flops"):
-                flops_per_image = float(ca["flops"]) / B
-                details["gen_fwd_flops_per_image"] = flops_per_image
-        except Exception as e:  # cost analysis is best-effort on plugins
-            log(f"cost_analysis unavailable: {e}")
-            fwd_j = jax.jit(fwd)
-
-        # forward calls are chained (call i+1's imageA = call i's fake
-        # output, transposed back to NCHW) so the device cannot elide or
-        # overlap them; each timed loop ends with one device_get sync and
-        # the k vs 2k loop difference cancels the constant overhead
-        def fwd_loop(k, img0):
-            best = float("inf")
-            for _ in range(2):
-                img = img0
-                t0 = time.time()
-                for _ in range(k):
-                    out = fwd_j(params_g, dict(batch, imageA=img))
-                    img = out[0].transpose(0, 3, 1, 2).astype(img0.dtype)
-                jax.device_get(jnp.ravel(out[0])[:1])
-                best = min(best, time.time() - t0)
-            return best
-
-        out = fwd_j(params_g, batch)
-        jax.device_get(jnp.ravel(out[0])[:1])  # compile + flush
-        n = 10
-        dt = max(fwd_loop(2 * n, batch["imageA"]) - fwd_loop(n, batch["imageA"]),
-                 1e-9)
-        gen_ips = B * n / dt / n_chips
-        details["gen_fwd_images_per_sec_per_chip"] = round(gen_ips, 3)
-        details["gen_fwd_ms"] = round(dt / n * 1e3, 2)
-        if flops_per_image:
-            tf = flops_per_image * gen_ips / 1e12
-            details["gen_fwd_tflops_per_sec"] = round(tf, 2)
-            details["gen_fwd_mfu_vs_mxu_peak"] = round(
-                tf * 1e12 / V5E_MXU_PEAK, 4
-            )
-            # fresh re-derivation of the A100 estimate: diagnostic only
-            # (the vs_baseline denominator stays FROZEN)
-            details["baseline_estimate"]["a100_img_s_rederived_diagnostic"] = (
-                round(A100_TF32_PEAK * A100_UTILIZATION
-                      / (3.0 * flops_per_image), 3)
-            )
-        log(f"gen_fwd (bf16): {gen_ips:.3f} img/s/chip")
-
-    if budget_left("gen_fwd"):
-        try:
-            gen_fwd_leg()
-        except Exception as e:
-            log(f"gen_fwd leg failed: {e}")
+    for name in DIAG_LEGS:
+        remaining = budget_s - (time.time() - t_start)
+        if remaining < 60.0:
+            log(f"{name}: SKIPPED — diagnostic budget exhausted "
+                f"({remaining:.0f}s left of {budget_s:.0f}s)")
+            details.setdefault("legs_skipped_for_budget", []).append(name)
+            continue
+        run_leg(name, remaining)
         flush_details()
 
-    try:
-        # per-chip batch 8 — the recommended deployment config: 4 chips x
-        # b8 = the reference's global batch 32 exactly, at ~0.7x the
-        # per-image cost of b4 (PERF.md)
-        if budget_left("train_bf16_b8"):
-            bf16_b8 = bench_step(
-                "train_bf16_b8", TrainConfig(image_size=S, **bf16_cfg), b=8
+    # cross-batch sanity: per-image cost must agree within 2.2x
+    bf16_b8 = details.get("train_bf16_b8_images_per_sec_per_chip")
+    if bf16_b8:
+        ratio = value / bf16_b8
+        if not (1 / 2.2 < ratio < 2.2):
+            details["SANITY_FAIL_b4_vs_b8"] = (
+                f"per-image throughput disagrees {ratio:.1f}x between "
+                f"b4 ({value:.2f}) and b8 ({bf16_b8:.2f} img/s) — "
+                "one of the legs is a timing artifact"
             )
-            # cross-batch sanity: per-image cost must agree within 2.2x
-            ratio = value / bf16_b8 if bf16_b8 else 0.0
-            if not (1 / 2.2 < ratio < 2.2):
-                details["SANITY_FAIL_b4_vs_b8"] = (
-                    f"per-image throughput disagrees {ratio:.1f}x between "
-                    f"b4 ({value:.2f}) and b8 ({bf16_b8:.2f} img/s) — "
-                    "one of the legs is a timing artifact"
-                )
-                log("SANITY FAIL: " + details["SANITY_FAIL_b4_vs_b8"])
-            flush_details()
-        # DexYCB production variant (fxfy camera, PCA-45 MANO, 24-ch D,
-        # hand-seg channels, no masks — SURVEY §2.11 delta table)
-        if budget_left("train_bf16_dexycb"):
-            ycb_ccfg = ConditioningConfig(
-                image_size=S, camera_model="fxfy", mano_pca_comps=45,
-                mano_flat_hand_mean=False,
-            )
-            bench_step(
-                "train_bf16_dexycb",
-                TrainConfig(
-                    image_size=S, bg_dim=13, img_cond_dim=9, d_input_nc=24,
-                    use_armask=False, **bf16_cfg,
-                ),
-                ccfg_=ycb_ccfg, camera="fxfy", with_masks=False,
-            )
-            flush_details()
-        # diagnostic: fp32 step (full remat — the only fp32 config that
-        # fits HBM); MFU note: TPU runs f32 matmuls as bf16 MXU passes at
-        # default precision, so the same MXU peak applies
-        if budget_left("train_fp32"):
-            fp32 = bench_step("train_fp32", TrainConfig(image_size=S))
-            details["bf16_speedup"] = round(value / fp32, 3)
-            flush_details()
-    except Exception as e:
-        log(f"diagnostic legs failed: {e}")
+            log("SANITY FAIL: " + details["SANITY_FAIL_b4_vs_b8"])
+    fp32 = details.get("train_fp32_images_per_sec_per_chip")
+    if fp32:
+        details["bf16_speedup"] = round(value / fp32, 3)
     # compile-cost visibility (remote-compile fragility tracking): total
     # compile seconds this run + per-leg cache-hit heuristic (<60s = warm)
     compile_keys = [k for k in details if k.endswith("_compile_s")]

@@ -102,7 +102,13 @@ class DataParallel:
     compiled program (GSPMD).
     """
 
-    def __init__(self, train_step: Callable, mesh: Mesh | None = None):
+    def __init__(self, train_step: Callable, mesh: Mesh | None = None,
+                 frozen: Any = None):
+        """frozen: optional pytree of constant data (VGG weights, surface
+        tables, MANO params) forwarded to the step as a replicated runtime
+        argument — keeping it OUT of the lowered module, which otherwise
+        embeds ~60 MB of dense constants per program (trainer.py
+        make_train_step docstring)."""
         self.mesh = mesh or make_data_mesh()
         self._replicated = NamedSharding(self.mesh, P())
         self._sharded = NamedSharding(self.mesh, P("data"))
@@ -113,12 +119,23 @@ class DataParallel:
             d.process_index != jax.process_index()
             for d in self.mesh.devices.flat
         )
-        self._step = jax.jit(
-            train_step,
-            in_shardings=(self._replicated, self._sharded, self._replicated),
-            out_shardings=(self._replicated, self._replicated),
-            donate_argnums=(0,),
-        )
+        if frozen is not None:
+            self._frozen = self.replicate(frozen)
+            self._step = jax.jit(
+                train_step,
+                in_shardings=(self._replicated, self._sharded,
+                              self._replicated, self._replicated),
+                out_shardings=(self._replicated, self._replicated),
+                donate_argnums=(0,),
+            )
+        else:
+            self._frozen = None
+            self._step = jax.jit(
+                train_step,
+                in_shardings=(self._replicated, self._sharded, self._replicated),
+                out_shardings=(self._replicated, self._replicated),
+                donate_argnums=(0,),
+            )
 
     @property
     def num_devices(self) -> int:
@@ -151,4 +168,8 @@ class DataParallel:
         """NOTE: `state` is donated (its buffers are consumed); always use
         the returned state. Keep an explicit copy if the input must
         survive (e.g. A/B comparisons in tests)."""
+        if self._frozen is not None:
+            return self._step(
+                state, self.shard_batch(batch), d_trainable, self._frozen
+            )
         return self._step(state, self.shard_batch(batch), d_trainable)

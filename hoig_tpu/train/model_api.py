@@ -160,7 +160,13 @@ class HOIGModel:
             train_mesh = make_data_mesh(jax.devices())
         else:
             train_mesh = make_data_mesh(devices[:n_use])
-        self._dp = DataParallel(step_fn, train_mesh)
+        # frozen constant data (VGG weights ~60 MB, tables, MANO) rides as
+        # a replicated runtime argument instead of being baked into the
+        # lowered module (trainer.make_train_step docstring)
+        self._frozen = dict(
+            vgg_params=self._vgg_params, tables=tables, mano_params=mano_params
+        )
+        self._dp = DataParallel(step_fn, train_mesh, frozen=self._frozen)
         self._state = self._dp.replicate(self._state)
 
         # the no-update forward/eval paths run on the LOCAL data mesh (the
@@ -176,11 +182,15 @@ class HOIGModel:
         shard = NamedSharding(self._eval_mesh, P("data"))
         self._eval_repl = repl
         self._eval_shard = shard
+        # tables/mano/VGG enter these programs as replicated runtime args
+        # too (same 60 MB-constants rationale as the train step)
+        self._eval_tables = jax.device_put(
+            dict(tables=tables, mano_params=mano_params), repl
+        )
+        self._eval_vgg = jax.device_put(self._vgg_params, repl)
         self._flow_fn = jax.jit(
-            functools.partial(
-                _flow_only, tables=tables, mano_params=mano_params, ccfg=self._ccfg
-            ),
-            in_shardings=(shard,),
+            functools.partial(_flow_only, ccfg=self._ccfg),
+            in_shardings=(shard, repl),
             out_shardings=shard,
         )
         self._fwd_fn = jax.jit(
@@ -192,7 +202,7 @@ class HOIGModel:
             make_eval_metrics(
                 self._G, self._D, self._vgg, self._vgg_params, self._tcfg
             ),
-            in_shardings=(repl, repl, shard, shard, shard),
+            in_shardings=(repl, repl, shard, shard, shard, repl),
             out_shardings=(shard, repl),
         )
 
@@ -295,10 +305,10 @@ class HOIGModel:
             # batch on the rank-local eval mesh explicitly
             batch = jax.device_put(batch, self._eval_shard)
             valid = jax.device_put(valid, self._eval_shard)
-        self._flow = self._flow_fn(batch)
+        self._flow = self._flow_fn(batch, self._eval_tables)
         if compute_losses:
             fakes, metrics = self._eval_fn(
-                params_g, params_d, self._flow, batch, valid
+                params_g, params_d, self._flow, batch, valid, self._eval_vgg
             )
             self._errors = metrics
         else:
@@ -392,10 +402,10 @@ class HOIGModel:
         self._visuals_cache = vis
 
 
-def _flow_only(batch, tables, mano_params, ccfg):
+def _flow_only(batch, frozen, ccfg):
     return hand_recovery_flow(
-        tables, mano_params, batch["imageA"], batch["imageB"],
-        batch["manoA"], batch["manoB"], ccfg,
+        frozen["tables"], frozen["mano_params"], batch["imageA"],
+        batch["imageB"], batch["manoA"], batch["manoB"], ccfg,
     )
 
 

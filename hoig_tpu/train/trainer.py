@@ -273,13 +273,14 @@ def make_train_step(
     opt_d = optax.adam(_lr_placeholder, b1=tcfg.adam_b1, b2=tcfg.adam_b2)
 
     vgg_loss_ckpt = jax.checkpoint(
-        lambda x, y, w=None: vgg_perceptual_loss(vgg_model, vgg_params, x, y, w)
+        lambda vp, x, y, w=None: vgg_perceptual_loss(vgg_model, vp, x, y, w)
     )
 
-    def g_loss_fn(params_g, params_d, flow, batch):
+    def g_loss_fn(params_g, params_d, flow, batch, vgg_p):
         fakes, total, parts, _ = _forward_and_g_losses(
-            g_model, d_model, vgg_loss_ckpt, tcfg, params_g, params_d, flow,
-            batch,
+            g_model, d_model,
+            lambda x, y, w=None: vgg_loss_ckpt(vgg_p, x, y, w),
+            tcfg, params_g, params_d, flow, batch,
         )
         return total, dict(parts, fake_tsf=fakes[1])
 
@@ -297,11 +298,23 @@ def make_train_step(
         ) * tcfg.lambda_D_prob
         return loss, {"d_real": jnp.mean(d_real), "d_fake": jnp.mean(d_fake)}
 
-    def train_step(state: TrainState, batch: dict, d_trainable):
+    def train_step(state: TrainState, batch: dict, d_trainable, frozen=None):
+        # `frozen` carries the constant data (VGG weights ~60 MB, surface
+        # tables, MANO params) as RUNTIME ARGUMENTS. When omitted, the
+        # make-time values are closure-captured instead and get baked into
+        # the lowered module as dense constants — measured 60.7 MB of MLIR
+        # for the flagship step, which the remote compile helper was
+        # OOM-killed on (SIGKILL, HTTP 500). Production callers
+        # (DataParallel(frozen=...), bench.py, profile_step.py) always
+        # pass it; the closure fallback keeps small-config tests simple.
+        if frozen is None:
+            frozen = dict(
+                vgg_params=vgg_params, tables=tables, mano_params=mano_params
+            )
         flow = jax.lax.stop_gradient(
             hand_recovery_flow(
-                tables,
-                mano_params,
+                frozen["tables"],
+                frozen["mano_params"],
                 batch["imageA"],
                 batch["imageB"],
                 batch["manoA"],
@@ -310,7 +323,8 @@ def make_train_step(
             )
         )
         (loss_g, aux), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.params_g, state.params_d, flow, batch
+            state.params_g, state.params_d, flow, batch,
+            frozen["vgg_params"],
         )
         updates_g, new_opt_g = opt_g.update(grads_g, state.opt_g, state.params_g)
         updates_g = jax.tree.map(lambda u: u * state.lr_g, updates_g)
@@ -356,6 +370,54 @@ def make_train_step(
     return train_step
 
 
+def make_g_grads_fn(
+    g_model,
+    d_model,
+    vgg_model,
+    vgg_params,
+    tables: dict,
+    mano_params: dict,
+    ccfg: ConditioningConfig,
+    tcfg: TrainConfig,
+) -> Callable:
+    """grads_fn(params_g, params_d, batch) -> grads of the G loss.
+
+    The raw gradient tree is exactly the quantity the data mesh
+    all-reduces, BEFORE Adam's step-1 sign amplification (m/sqrt(v) of a
+    fresh state is +-1 for ANY nonzero gradient, so post-update params
+    magnify reduction-order noise of near-zero gradients into +-2*lr
+    deltas). Sharding-equivalence tests compare this tree instead
+    (tests/test_flagship_mesh.py)."""
+    vgg_loss_ckpt = jax.checkpoint(
+        lambda vp, x, y, w=None: vgg_perceptual_loss(vgg_model, vp, x, y, w)
+    )
+
+    def g_loss(params_g, params_d, flow, batch, vgg_p):
+        _, total, _, _ = _forward_and_g_losses(
+            g_model, d_model,
+            lambda x, y, w=None: vgg_loss_ckpt(vgg_p, x, y, w),
+            tcfg, params_g, params_d, flow, batch,
+        )
+        return total
+
+    def grads_fn(params_g, params_d, batch, frozen=None):
+        if frozen is None:
+            frozen = dict(
+                vgg_params=vgg_params, tables=tables, mano_params=mano_params
+            )
+        flow = jax.lax.stop_gradient(
+            hand_recovery_flow(
+                frozen["tables"], frozen["mano_params"], batch["imageA"],
+                batch["imageB"], batch["manoA"], batch["manoB"], ccfg,
+            )
+        )
+        return jax.grad(g_loss)(
+            params_g, params_d, flow, batch, frozen["vgg_params"]
+        )
+
+    return grads_fn
+
+
 def make_eval_metrics(g_model, d_model, vgg_model, vgg_params, tcfg: TrainConfig):
     """Returns eval_fn(params_g, params_d, flow, batch) -> (fakes, metrics).
 
@@ -368,10 +430,13 @@ def make_eval_metrics(g_model, d_model, vgg_model, vgg_params, tcfg: TrainConfig
     fakes = (fake_src, fake_tsf, src_mbg, src_mh, tsf_mbg, tsf_mh).
     """
 
-    def eval_fn(params_g, params_d, flow, batch, valid=None):
+    def eval_fn(params_g, params_d, flow, batch, valid=None, vgg_p=None):
+        # vgg_p: pass the VGG weights as a runtime argument to keep them
+        # out of the lowered module (see make_train_step's `frozen`)
+        vp = vgg_params if vgg_p is None else vgg_p
         fakes, _, parts, d_fake = _forward_and_g_losses(
             g_model, d_model,
-            lambda x, y, w=None: vgg_perceptual_loss(vgg_model, vgg_params, x, y, w),
+            lambda x, y, w=None: vgg_perceptual_loss(vgg_model, vp, x, y, w),
             tcfg, params_g, params_d, flow, batch, valid=valid,
         )
         armask_tsf = batch.get("maskB") if tcfg.use_armask else None

@@ -106,13 +106,14 @@ def build_step(dtype: str, engine: str, batch: int, leg: str):
     )
     step_fn = make_train_step(g, d, vgg, vgg_params, tables, mano_params, ccfg, tcfg)
     step = jax.jit(step_fn, donate_argnums=(0,))
+    frozen = dict(vgg_params=vgg_params, tables=tables, mano_params=mano_params)
 
     def run_once(st, do_sync=True):
         # device_get of one metrics scalar: the only true sync on the
         # axon platform — block_until_ready can return without flushing
         # queued work (the r3 904%-MFU bench artifact; see bench.py).
         # Steps chain through the donated state either way.
-        st, metrics = step(st, bt, jnp.asarray(True))
+        st, metrics = step(st, bt, jnp.asarray(True), frozen)
         if do_sync:
             jax.device_get(metrics["loss_G"])
         return st

@@ -224,6 +224,7 @@ class ExtractorAttn(nn.Module):
         # kernel each (ops/local_combine, f32 accumulation; XLA evaluated
         # them as dozens of fusions that each re-read the operand from
         # HBM — 29.3 ms fwd+bwd for the single 128px layer, attn_ab.py)
+        from hoig_tpu.ops import compile_lite
         from hoig_tpu.ops.local_combine import (
             local_combine,
             local_combine_reference,
@@ -231,7 +232,7 @@ class ExtractorAttn(nn.Module):
 
         combine = (
             local_combine
-            if jax.default_backend() == "tpu"
+            if jax.default_backend() == "tpu" and not compile_lite()
             else local_combine_reference
         )
 

@@ -30,3 +30,19 @@ from hoig_tpu.ops.block_extractor import (
     local_attn_reshape_nhwc,
 )
 from hoig_tpu.ops.texture import lighting, sample_textures_trilinear
+
+
+import os as _os
+
+
+def compile_lite() -> bool:
+    """HOIG_COMPILE_LITE=1: swap every Pallas kernel for its XLA fallback.
+
+    Insurance knob for remote-compile-service outages: each Mosaic kernel
+    instance measured 327 s to compile during the round-5 outage (vs
+    seconds normally) and the flagship step carries ~20 of them, so a
+    cold compile took 60-100+ min. The XLA fallbacks are the measured
+    slower-at-runtime paths (PERF.md), but the program compiles in
+    minutes; use when a number today beats a faster number never.
+    """
+    return _os.environ.get("HOIG_COMPILE_LITE") == "1"

@@ -276,8 +276,11 @@ def rasterize_fim_wim_auto(
     fetch: fim < 0 resolves to the background row)."""
     from hoig_tpu.ops.rasterizer import rasterize_fim_wim
 
+    from hoig_tpu.ops import compile_lite
+
     use_pallas = (
         jax.default_backend() == "tpu"
+        and not compile_lite()
         and image_size % TILE_H == 0
         and image_size % TILE_W == 0
     )

@@ -149,7 +149,9 @@ def gather_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     TPU: MXU one-hot kernel. Elsewhere: plain take_along_axis (the
     interpret-mode kernel is exact but slow on CPU test meshes).
     """
-    if jax.default_backend() == "tpu":
+    from hoig_tpu.ops import compile_lite
+
+    if jax.default_backend() == "tpu" and not compile_lite():
         return gather_rows_mxu(table, idx)
     rows = jnp.take_along_axis(table, idx[..., None], axis=1)
     return rows.transpose(0, 2, 1)

@@ -431,9 +431,11 @@ def orchestrate():
         with open("BENCH_DETAILS.json", "w") as fp:
             json.dump(details, fp, indent=1)
 
-    def run_leg(name, timeout):
+    def run_leg(name, timeout, extra_env=None):
         env = dict(os.environ)
         env["HOIG_BENCH_LEG"] = name
+        if extra_env:
+            env.update(extra_env)
         t0 = time.time()
         try:
             proc = subprocess.run(
@@ -455,9 +457,17 @@ def orchestrate():
         details[f"{name}_wall_s"] = round(time.time() - t0, 1)
         return proc.returncode == 0
 
-    # HEADLINE FIRST, no timeout (without it there is nothing to report;
-    # the driver's own timeout is the only backstop)
-    ok = run_leg("train_bf16", None)
+    # HEADLINE FIRST. If the full-fidelity program cannot compile within
+    # the budget (remote Mosaic compiles measured 60-100+ min during the
+    # round-5 service outage), retry once under HOIG_COMPILE_LITE=1 —
+    # the XLA-fallback program compiles in minutes and its number is
+    # honest (just the measured-slower engine choice), clearly labeled.
+    ok = run_leg("train_bf16", budget_s)
+    if not ok and "train_bf16_images_per_sec_per_chip" not in details:
+        log("headline: retrying with HOIG_COMPILE_LITE=1 (XLA fallback "
+            "kernels) after budget timeout")
+        details["headline_mode"] = "compile_lite_fallback"
+        ok = run_leg("train_bf16", budget_s, {"HOIG_COMPILE_LITE": "1"})
     value = details.get("train_bf16_images_per_sec_per_chip")
     if not ok or not value:
         flush_details()

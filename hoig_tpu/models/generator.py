@@ -220,10 +220,17 @@ class ExtractorAttn(nn.Module):
         )  # (B, h+2*halo, w+2*halo, 128): G on the corner-shift halo
 
         # the two weighted-shift combinations below are the engine's
-        # bandwidth core: on TPU they run as ONE VMEM-resident Pallas
-        # kernel each (ops/local_combine, f32 accumulation; XLA evaluated
-        # them as dozens of fusions that each re-read the operand from
-        # HBM — 29.3 ms fwd+bwd for the single 128px layer, attn_ab.py)
+        # bandwidth core. With the STACKED coefficient build above, plain
+        # XLA slices+FMAs are the measured-best evaluation (280.6 ms full
+        # step vs 286.2 for the r4 Pallas local_combine path on v5e, and
+        # ~15 fewer minutes-each Mosaic kernel compiles); the VMEM Pallas
+        # kernel (ops/local_combine) remains available via
+        # HOIG_ATTN_COMBINE=pallas — it was built for (and beat) the old
+        # scalar-lane field formulation, whose XLA evaluation re-read the
+        # operand from HBM per fusion (29.3 ms fwd+bwd at 128px,
+        # attn_ab.py).
+        import os as _os
+
         from hoig_tpu.ops import compile_lite
         from hoig_tpu.ops.local_combine import (
             local_combine,
@@ -232,7 +239,8 @@ class ExtractorAttn(nn.Module):
 
         combine = (
             local_combine
-            if jax.default_backend() == "tpu" and not compile_lite()
+            if (jax.default_backend() == "tpu" and not compile_lite()
+                and _os.environ.get("HOIG_ATTN_COMBINE") == "pallas")
             else local_combine_reference
         )
 

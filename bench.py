@@ -448,7 +448,14 @@ def orchestrate():
             return False
         for line in proc.stdout.splitlines():
             if line.startswith("LEGDETAILS "):
-                details.update(json.loads(line[len("LEGDETAILS "):]))
+                leg_details = json.loads(line[len("LEGDETAILS "):])
+                # nested merge: the gen_fwd leg contributes only the
+                # rederived-diagnostic key and must not clobber the
+                # FROZEN denominator entry
+                be = leg_details.pop("baseline_estimate", None)
+                if be:
+                    details.setdefault("baseline_estimate", {}).update(be)
+                details.update(leg_details)
                 break
         else:
             log(f"{name}: leg exited rc={proc.returncode} with no details")
